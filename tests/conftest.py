@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the reference's approach of validating CUDA kernels against pure
+reference implementations (SURVEY.md section 4): every op test compares the
+TPU-native implementation against an independently written golden (torch
+builtins on CPU, or hand-computed values). Multi-device sharding tests use
+the forced 8-device host platform.
+"""
+
+import os
+
+# Tests always run on the virtual CPU mesh — the real chip is reserved for
+# bench.py. The environment's sitecustomize force-registers the axon TPU
+# platform and rewrites JAX_PLATFORMS, so the env var alone is not enough:
+# override the config after import, before any backend is initialized.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

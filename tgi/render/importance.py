@@ -1,0 +1,117 @@
+"""Stratified + importance depth sampling along rays.
+
+Behavioral parity target: renderer.py:224-308 (sample_stratified,
+sample_importance, sample_pdf, unify_samples). TPU notes: the inverse-CDF
+draw is a searchsorted + gather over the small per-ray sample axis; the
+coarse/fine merge is a single jnp.sort along that axis — both map cleanly
+to the VPU with fully static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tgi.render.maths import linspace_batch
+
+
+def sample_stratified(key, ray_origins, ray_start, ray_end, depth_resolution,
+                      disparity_space_sampling=False, det=False):
+    """Jittered uniform depths [N, M, depth_resolution, 1].
+
+    ray_start/ray_end may be scalars or [N, M, 1] tensors (auto ray-box).
+    ``det=True`` disables the jitter (useful for tests/eval parity).
+    """
+    N, M, _ = ray_origins.shape
+    D = depth_resolution
+    if disparity_space_sampling:
+        depths = jnp.tile(
+            jnp.linspace(0., 1., D).reshape(1, 1, D, 1), (N, M, 1, 1))
+        delta = 1 / (D - 1)
+        if not det:
+            depths = depths + jax.random.uniform(key, depths.shape) * delta
+        depths = 1. / (1. / ray_start * (1. - depths) + 1. / ray_end * depths)
+        return depths
+    if isinstance(ray_start, jax.Array) and ray_start.ndim > 0:
+        # [D, N, M, 1] -> [N, M, D, 1]
+        depths = jnp.transpose(linspace_batch(ray_start, ray_end, D),
+                               (1, 2, 0, 3))
+        delta = (ray_end - ray_start) / (D - 1)                # [N, M, 1]
+        if not det:
+            depths = depths + (jax.random.uniform(key, depths.shape)
+                               * delta[..., None])
+    else:
+        depths = jnp.tile(
+            jnp.linspace(float(ray_start), float(ray_end), D)
+            .reshape(1, 1, D, 1), (N, M, 1, 1))
+        delta = (ray_end - ray_start) / (D - 1)
+        if not det:
+            depths = depths + jax.random.uniform(key, depths.shape) * delta
+    return depths
+
+
+def _smooth_weights(weights):
+    """max_pool1d(2,1,pad=1) then avg_pool1d(2,1) (renderer.py:262-264)."""
+    w = jnp.pad(weights, ((0, 0), (1, 1)), mode="constant")
+    w = jnp.maximum(w[:, :-1], w[:, 1:])     # length L+1
+    w = (w[:, :-1] + w[:, 1:]) / 2           # length L
+    return w + 0.01
+
+
+def sample_pdf(key, bins, weights, N_importance, det=False, eps=1e-5):
+    """Inverse-CDF sampling (renderer.py:269-308).
+
+    bins: [R, B+1]; weights: [R, B]. Returns [R, N_importance].
+    """
+    R, B = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)  # [R, B+1]
+
+    if det:
+        u = jnp.tile(jnp.linspace(0., 1., N_importance)[None], (R, 1))
+    else:
+        u = jax.random.uniform(key, (R, N_importance))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, B)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=1)
+    bins_g0 = jnp.take_along_axis(bins, below, axis=1)
+    bins_g1 = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
+
+
+def sample_importance(key, z_vals, weights, N_importance, det=False):
+    """Importance depths [N, M, N_importance, 1] from coarse weights.
+
+    z_vals: [N, M, S, 1]; weights: [N, M, S-1, 1] (marcher output).
+    """
+    N, M, S, _ = z_vals.shape
+    z_flat = z_vals.reshape(N * M, S)
+    w_flat = weights.reshape(N * M, -1)
+    w_smooth = _smooth_weights(w_flat)
+    z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+    samples = sample_pdf(key, z_mid, w_smooth[:, 1:-1], N_importance, det=det)
+    return jax.lax.stop_gradient(samples.reshape(N, M, N_importance, 1))
+
+
+def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+    """Concat coarse+fine and sort by depth along the sample axis
+    (renderer.py:212-222)."""
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    all_colors = jnp.concatenate([colors1, colors2], axis=-2)
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
+
+    order = jnp.argsort(all_depths, axis=-2)
+    all_depths = jnp.take_along_axis(all_depths, order, axis=-2)
+    all_colors = jnp.take_along_axis(
+        all_colors, jnp.tile(order, (1, 1, 1, all_colors.shape[-1])), axis=-2)
+    all_densities = jnp.take_along_axis(all_densities, order, axis=-2)
+    return all_depths, all_colors, all_densities
