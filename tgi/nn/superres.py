@@ -40,6 +40,10 @@ SR_VARIANTS = {
     # superresolution.py:94-123 (64 -> 128)
     "SuperresolutionHybrid2X": SRConfig(
         "SuperresolutionHybrid2X", 64, (32, 128, 64, 1), (128, 64, 128, 2), 128),
+    # Miniature variant for CPU tests and kernel micro-benches (no
+    # reference counterpart).
+    "SuperresolutionTiny": SRConfig(
+        "SuperresolutionTiny", 32, (8, 16, 32, 1), (16, 16, 64, 2), 64),
 }
 
 
