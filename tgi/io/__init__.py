@@ -1,0 +1,4 @@
+from tgi.io.pickle_import import (load_network_pkl, captured_state_dict,
+                                  convert_generator_params,
+                                  generator_config_from_captured)
+from tgi.io.checkpoints import save_checkpoint, load_checkpoint

@@ -1,0 +1,237 @@
+"""Import reference EG3D/3DGAN-Inversion pickles into tgi pytrees.
+
+The reference pickles carry *source code* next to the weights
+(torch_utils/persistence.py:37-60: every module reduces to
+``_reconstruct_persistent_obj(meta)`` with
+``meta = {type, version, module_src, class_name, state}``). Executing that
+embedded code would drag in the whole CUDA-centric reference runtime, so
+this loader never runs it: a custom Unpickler intercepts the reconstruct
+hook and captures ``state`` (the nn.Module ``__dict__`` with _parameters /
+_buffers / _modules) into lightweight nodes. Tensors deserialize through
+torch-CPU; everything is exported as numpy.
+
+The name map to tgi params is a pure rename — tgi layer pytrees were
+designed to mirror the reference state_dict (SURVEY.md section 7 step 2).
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+from typing import Any
+
+import numpy as np
+
+
+class CapturedModule:
+    """Stand-in for a persistent-class instance: holds the raw state."""
+
+    def __init__(self, meta: dict):
+        self.class_name = meta.get("class_name")
+        self.state = meta.get("state", {})
+
+    @property
+    def init_args(self):
+        return self.state.get("_init_args", ())
+
+    @property
+    def init_kwargs(self):
+        return dict(self.state.get("_init_kwargs", {}))
+
+    def submodules(self):
+        return dict(self.state.get("_modules", {}) or {})
+
+    def parameters_and_buffers(self):
+        out = {}
+        for src in ("_parameters", "_buffers"):
+            for name, t in (self.state.get(src, {}) or {}).items():
+                if t is not None:
+                    out[name] = t
+        return out
+
+    def __repr__(self):
+        return f"CapturedModule({self.class_name})"
+
+
+def _reconstruct_captured(meta):
+    return CapturedModule(meta)
+
+
+class _EasyDict(dict):
+    """Attribute-style dict standing in for dnnlib.EasyDict in pickles."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+class StubModule:
+    """Permissive stand-in for non-persistent reference classes (e.g.
+    OSGDecoder, triplane.py:113 has no @persistent_class): absorbs any
+    constructor args and keeps the pickled state in ``__dict__`` so the
+    generic tree walk below can still reach its parameters."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+def _make_stub(module, name):
+    return type(name, (StubModule,), {"_source": f"{module}.{name}"})
+
+
+class ReferenceUnpickler(pickle.Unpickler):
+    """Unpickler that captures persistent modules instead of executing
+    their embedded source."""
+
+    def find_class(self, module, name):
+        if name == "_reconstruct_persistent_obj":
+            return _reconstruct_captured
+        if (module, name) == ("dnnlib", "EasyDict") or name == "EasyDict":
+            return _EasyDict
+        if module.startswith(("torch", "numpy", "collections", "builtins",
+                              "_codecs")):
+            return super().find_class(module, name)
+        # Anything else from the reference package: a permissive stub that
+        # preserves state without importing reference code.
+        return _make_stub(module, name)
+
+
+def load_network_pkl(path_or_bytes) -> dict:
+    """Load a reference pickle; returns the raw dict with CapturedModule
+    values for G/D/G_ema (plus any plain entries)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        f = io.BytesIO(path_or_bytes)
+        return ReferenceUnpickler(f).load()
+    with open(path_or_bytes, "rb") as f:
+        return ReferenceUnpickler(f).load()
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def _module_state(obj):
+    """(params_and_buffers, submodules) for CapturedModule, StubModule or a
+    real torch nn.Module — all keep nn.Module's __dict__ layout."""
+    if isinstance(obj, CapturedModule):
+        d = obj.state
+    else:
+        d = getattr(obj, "__dict__", None)
+    if not isinstance(d, dict) or "_modules" not in d:
+        return None
+    tensors = {}
+    for src in ("_parameters", "_buffers"):
+        for name, t in (d.get(src) or {}).items():
+            if t is not None:
+                tensors[name] = t
+    return tensors, dict(d.get("_modules") or {})
+
+
+def captured_state_dict(cap, prefix: str = "") -> dict:
+    """Flatten a captured module tree to {dotted_name: numpy array}.
+
+    Walks persistent CapturedModules, stubbed plain modules and real torch
+    modules (e.g. nn.Sequential) uniformly.
+    """
+    out = {}
+    state = _module_state(cap)
+    if state is None:
+        return out
+    tensors, modules = state
+    for name, t in tensors.items():
+        out[prefix + name] = _to_numpy(t)
+    for name, sub in modules.items():
+        if sub is not None:
+            out.update(captured_state_dict(sub, prefix + name + "."))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# state_dict -> tgi params
+
+
+def _nest(tree: dict, path: list[str], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_generator_params(state_dict: dict) -> dict:
+    """Map a reference TriPlaneGenerator state_dict to the tgi params tree.
+
+    Accepts {dotted_name: numpy}; returns the nested params dict consumed
+    by tgi.models.TriPlaneGenerator. Filter buffers (resample_filter) are
+    recomputed constants and skipped.
+    """
+    import jax.numpy as jnp
+
+    params: dict = {}
+    for name, value in state_dict.items():
+        parts = name.split(".")
+        if parts[-1] == "resample_filter":
+            continue
+        v = jnp.asarray(np.asarray(value), dtype=jnp.float32)
+
+        if parts[0] == "backbone" and parts[1] == "mapping":
+            # backbone.mapping.fc0.weight -> mapping.fc0.weight
+            _nest(params, ["mapping"] + parts[2:], v)
+        elif parts[0] == "backbone" and parts[1] == "synthesis":
+            # backbone.synthesis.b64.conv0.affine.weight -> backbone.b64...
+            _nest(params, ["backbone"] + parts[2:], v)
+        elif parts[0] == "superresolution":
+            _nest(params, parts, v)
+        elif parts[0] == "decoder":
+            # decoder.net.0.weight -> decoder.net0.weight;  net.2 -> net1
+            idx = {"0": "net0", "2": "net1"}[parts[2]]
+            _nest(params, ["decoder", idx, parts[3]], v)
+        # anything else (e.g. renderer plane_axes const) is derived state
+    return params
+
+
+def generator_config_from_captured(cap: CapturedModule):
+    """Build a GeneratorConfig from the pickled init args/kwargs
+    (triplane.py:20-46 signature)."""
+    from tgi.models.generator import GeneratorConfig
+
+    args = list(cap.init_args)
+    kw = cap.init_kwargs
+    names = ["z_dim", "c_dim", "w_dim", "img_resolution", "img_channels"]
+    merged = dict(zip(names, args))
+    merged.update({k: v for k, v in kw.items() if k in names})
+    rendering_kwargs = dict(kw.get("rendering_kwargs", {}))
+    mapping_kwargs = dict(kw.get("mapping_kwargs", {}))
+    return GeneratorConfig(
+        z_dim=merged.get("z_dim", 512),
+        c_dim=merged.get("c_dim", 25),
+        w_dim=merged.get("w_dim", 512),
+        img_resolution=merged.get("img_resolution", 512),
+        img_channels=merged.get("img_channels", 3),
+        channel_base=kw.get("channel_base", 32768),
+        channel_max=kw.get("channel_max", 512),
+        mapping_layers=mapping_kwargs.get("num_layers", 8),
+        sr_num_fp16_res=kw.get("sr_num_fp16_res", 4),
+        rendering_kwargs=rendering_kwargs,
+    )
+
+
+def load_generator(path, key: str = "G_ema"):
+    """One call: pickle path -> (GeneratorConfig, params pytree)."""
+    data = load_network_pkl(path)
+    cap = data[key]
+    cfg = generator_config_from_captured(cap)
+    params = convert_generator_params(captured_state_dict(cap))
+    return cfg, params
