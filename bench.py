@@ -1,0 +1,117 @@
+"""TPU benchmark: the reference's headline workload costs (BASELINE.md).
+
+Measures, on the real chip, with the full-size FFHQ-512 architecture
+(8XDC super-resolution, 48+48 depth samples, 64² neural render — random
+init; wall-clock does not depend on weight values):
+
+  * 512² novel-view render ms/frame (gen_videos hot loop, SURVEY.md 3.4)
+  * stage-1 projection step ms (2 renders + backward + 3 Adam updates)
+  * stage-2 PTI step ms (render + LPIPS/L2/TV backward + Adam)
+  * extrapolated PTI inversion sec/image at the reference step budget
+    (400 stage-1 + 400 stage-2, hyperparameters.py:19-22)
+
+Prints ONE JSON line. ``vs_baseline`` compares the extrapolated
+sec/image against REFERENCE_SEC_PER_IMAGE — the RTX 3090 wall-clock of
+the reference implementation for the same budget (no number is published
+in the repo; 180 s/image is our measured-workload estimate: ~800
+fwd+bwd of the full generator at 512², plus 400 LPIPS/VGG evals, on a
+3090 — see BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SEC_PER_IMAGE = 180.0
+STAGE1_STEPS = 400
+STAGE2_STEPS = 400
+
+
+def timeit(fn, *args, warmup=2, iters=8):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from tgi.models import TriPlaneGenerator, GeneratorConfig
+    from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                    pack_camera)
+    from tgi.invert import Projector, ProjectorConfig, PTICoach, CoachConfig
+    from tgi.losses.lpips import LPIPSLoss
+    from tgi.models.pose_resnet import resnet34_init
+    from tgi.models.vgg import lpips_head_init, vgg16_init
+
+    dev = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+    G = TriPlaneGenerator(GeneratorConfig(fused_dtype="bfloat16"))
+    params = G.init(key)
+
+    cam = look_at_pose(np.pi / 2, np.pi / 2, jnp.asarray([0., 0., 0.2]),
+                       radius=2.7)
+    c = pack_camera(cam[None], fov_to_intrinsics(18.837))
+    ws = jnp.zeros((1, G.cfg.num_ws, 512))
+
+    # 1) 512² render (gen_videos inner loop).
+    @jax.jit
+    def render(params, ws, c):
+        return G.synthesis(params, ws, c, det=True)["image"]
+
+    render_ms = timeit(render, params, ws, c, warmup=2, iters=16) * 1e3
+
+    # 2) stage-1 projection step.
+    kv, kh, kp = jax.random.split(key, 3)
+    vgg = vgg16_init(kv)
+    head = lpips_head_init(kh)
+    pose = resnet34_init(kp, output_dims=4)
+    proj = Projector(G, params, vgg, head, pose,
+                     ProjectorConfig(w_avg_samples=512))
+    target = jnp.zeros((1, 3, 256, 256))
+    from tgi.models.vgg import lpips_features
+    tfeats = lpips_features(vgg, head, target)
+    ts, opt_states, w_std = proj.init_state(jax.random.PRNGKey(1), target)
+    step_b = jax.jit(proj._make_step(target, tfeats, w_std, preheat=False))
+
+    def run_step(carry):
+        return step_b(carry, jnp.asarray(100))[0]
+
+    carry = (ts, opt_states, jax.random.PRNGKey(2))
+    stage1_ms = timeit(run_step, carry, warmup=2, iters=6) * 1e3
+
+    # 3) stage-2 PTI step.
+    lp = LPIPSLoss(vgg, head)
+    coach = PTICoach(G, lp, CoachConfig())
+    real = jnp.zeros((1, 3, 512, 512))
+    grad_fn = jax.jit(jax.grad(coach._loss, has_aux=True))
+
+    def pti_step(params):
+        g, _ = grad_fn(params, ws, c, real, jax.random.PRNGKey(3))
+        return g
+
+    stage2_ms = timeit(pti_step, params, warmup=2, iters=6) * 1e3
+
+    sec_per_image = (STAGE1_STEPS * stage1_ms
+                     + STAGE2_STEPS * stage2_ms) / 1e3
+
+    print(json.dumps({
+        "metric": "PTI inversion sec/image (w+pose, 500 steps); "
+                  "512² render ms/frame",
+        "value": round(sec_per_image, 2),
+        "unit": "s/image",
+        "vs_baseline": round(REFERENCE_SEC_PER_IMAGE / sec_per_image, 2),
+        "render_ms_per_frame_512": round(render_ms, 2),
+        "stage1_step_ms": round(stage1_ms, 2),
+        "stage2_step_ms": round(stage2_ms, 2),
+        "device": str(dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()

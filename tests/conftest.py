@@ -22,6 +22,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the inversion-loop scan bodies are large
+# XLA programs (~10 min cold compile on the single CPU core); cache them
+# across test runs.
+os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,126 @@
+"""End-to-end smoke tests for the two-stage inversion engine (tiny config).
+
+Mirrors SURVEY.md section 4d: a few-step projection on a fixed target with
+fixed PRNG must run on-device, produce well-formed outputs, and reduce the
+reconstruction loss.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_generator import tiny_config, camera_batch
+from tgi.invert import Projector, ProjectorConfig, PTICoach, CoachConfig
+from tgi.invert.projector import collect_noise_paths, extract_noise, \
+    merge_noise
+from tgi.losses.lpips import LPIPSLoss
+from tgi.models import TriPlaneGenerator
+from tgi.models.pose_resnet import resnet34_init
+from tgi.models.vgg import lpips_head_init, vgg16_init
+
+
+@pytest.fixture(scope="module")
+def setup():
+    G = TriPlaneGenerator(tiny_config())
+    key = jax.random.PRNGKey(0)
+    kg, kv, kh, kp, kt = jax.random.split(key, 5)
+    gen_params = G.init(kg)
+    vgg_params = vgg16_init(kv)
+    lpips_head = lpips_head_init(kh)
+    pose_params = resnet34_init(kp, output_dims=4)
+    # Target: a render from the same generator at a known camera (so the
+    # optimum exists), converted to [0,255] 256².
+    c = camera_batch(1)
+    z = jax.random.normal(kt, (1, 32))
+    out = G(params=gen_params, z=z, c=c, det=True)
+    img = out["image"] * 127.5 + 128
+    target = jax.image.resize(img, (1, 3, 256, 256), method="linear")
+    return dict(G=G, gen=gen_params, vgg=vgg_params, head=lpips_head,
+                pose=pose_params, target=jnp.clip(target, 0, 255))
+
+
+def test_noise_path_utils(setup):
+    paths = collect_noise_paths(setup["gen"])
+    assert len(paths) > 0
+    assert all(p[-1] == "noise_const" for p in paths)
+    noise = extract_noise(setup["gen"], paths)
+    merged = merge_noise(setup["gen"], {k: v + 1 for k, v in noise.items()})
+    n2 = extract_noise(merged, paths)
+    for k in noise:
+        np.testing.assert_allclose(np.asarray(n2[k]),
+                                   np.asarray(noise[k]) + 1)
+    # Non-noise leaves untouched.
+    np.testing.assert_array_equal(
+        np.asarray(merged["mapping"]["fc0"]["weight"]),
+        np.asarray(setup["gen"]["mapping"]["fc0"]["weight"]))
+
+
+def test_projection_smoke(setup):
+    cfg = ProjectorConfig(num_steps=6, cam_preheat_steps=3, w_avg_samples=32,
+                          camera_mode="quat")
+    proj = Projector(setup["G"], setup["gen"], setup["vgg"], setup["head"],
+                     setup["pose"], cfg)
+    ws, cam, state, metrics = proj.project(jax.random.PRNGKey(1),
+                                           setup["target"])
+    assert ws.shape == (1, setup["G"].cfg.num_ws, 32)
+    assert cam.shape == (1, 25)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert metrics["loss"].shape == (6,)
+    # Camera stays on the radius-2.7 sphere.
+    ext = np.asarray(cam)[0, :16].reshape(4, 4)
+    np.testing.assert_allclose(np.linalg.norm(ext[:3, 3]), 2.7, rtol=1e-4)
+    # Rotation orthonormal.
+    R = ext[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    # Noise buffers stay normalized.
+    for v in state["noise"].values():
+        np.testing.assert_allclose(float(jnp.mean(v)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(jnp.mean(v ** 2)), 1.0, rtol=1e-4)
+
+
+def test_projection_loss_decreases(setup):
+    """With enough joint steps the LPIPS distance must drop."""
+    cfg = ProjectorConfig(num_steps=16, cam_preheat_steps=2,
+                          w_avg_samples=32, camera_mode="quat")
+    proj = Projector(setup["G"], setup["gen"], setup["vgg"], setup["head"],
+                     setup["pose"], cfg)
+    _, _, _, metrics = proj.project(jax.random.PRNGKey(2), setup["target"])
+    dist = np.asarray(metrics["dist"])
+    assert dist[-1] < dist[2] * 1.001, dist  # joint phase reduces distance
+
+
+def test_pti_smoke(setup):
+    G = setup["G"]
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=4))
+    ws = jnp.zeros((1, G.cfg.num_ws, 32))
+    c = camera_batch(1)
+    real = G.synthesis(setup["gen"], ws, c, det=True)["image"]
+    tuned, info = coach.tune(jax.random.PRNGKey(3), setup["gen"], ws, c,
+                             real)
+    assert int(info["steps"]) <= 4
+    assert np.isfinite(float(info["final_lpips"]))
+    # Params changed (unless early-stopped at step 0).
+    if int(info["steps"]) > 0:
+        before = np.asarray(setup["gen"]["decoder"]["net0"]["weight"])
+        after = np.asarray(tuned["decoder"]["net0"]["weight"])
+        assert not np.allclose(before, after)
+
+
+def test_pti_early_stop_with_zero_threshold(setup):
+    """Threshold=inf stops immediately without touching params."""
+    G = setup["G"]
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=8,
+                                        lpips_threshold=np.inf))
+    ws = jnp.zeros((1, G.cfg.num_ws, 32))
+    c = camera_batch(1)
+    real = G.synthesis(setup["gen"], ws, c, det=True)["image"]
+    tuned, info = coach.tune(jax.random.PRNGKey(4), setup["gen"], ws, c,
+                             real)
+    assert int(info["steps"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(tuned["decoder"]["net0"]["weight"]),
+        np.asarray(setup["gen"]["decoder"]["net0"]["weight"]))

@@ -1,0 +1,237 @@
+"""Main inversion entry point: images -> latents/cameras -> tuned G.
+
+Behavioral parity target: scripts/run_pti.py:16-60 +
+training/coaches/single_id_coach.py:25-117. Per image:
+
+  stage 1  joint w + camera projection (tgi.invert.Projector)
+  stage 2  pivotal tuning of the generator (tgi.invert.PTICoach)
+  outputs  pivot/final reconstruction grids, orbit videos, (ws, cam)
+           .npy, optional mesh, optional per-image metrics
+           (MSE / LPIPS / MS-SSIM / ID).
+
+Weights: generator from a reference .pkl or tgi checkpoint; pose
+estimator / e4e / VGG / ArcFace from torch state-dict .pt files via the
+structural converters (random init with a warning when absent, keeping
+the pipeline runnable for smoke tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import click
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_range(s: str):
+    out = []
+    for part in str(s).split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+def load_torch_state_dict(path):
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else v
+            for k, v in sd.items()}
+
+
+def load_any_generator(path, fused_dtype="bfloat16"):
+    """Reference .pkl or tgi .ckpt -> (TriPlaneGenerator, params)."""
+    from tgi.models import TriPlaneGenerator, GeneratorConfig
+    if path.endswith(".pkl"):
+        from tgi.io.pickle_import import load_generator
+        cfg, params = load_generator(path)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, fused_dtype=fused_dtype)
+        return TriPlaneGenerator(cfg), params
+    from tgi.io import load_checkpoint
+    data = load_checkpoint(path)
+    cfg = GeneratorConfig(**data["config"]) if data["config"] else \
+        GeneratorConfig()
+    return TriPlaneGenerator(cfg), data["params"]
+
+
+def list_images(directory):
+    exts = (".png", ".jpg", ".jpeg")
+    return sorted(os.path.join(directory, f) for f in os.listdir(directory)
+                  if f.lower().endswith(exts))
+
+
+def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
+            lpips_head, e4e_params=None, arcface_params=None,
+            camera_mode="quat", first_inv_steps=400, max_pti_steps=400,
+            gen_video=True, gen_mesh=False, do_evaluation=False,
+            save_pivot=True, seed=0):
+    """Invert every image in ``image_dir``. Returns per-image results."""
+    from tgi.invert import (CoachConfig, PTICoach, Projector,
+                            ProjectorConfig)
+    from tgi.losses.lpips import LPIPSLoss
+    from tgi.utils.image import load_image, save_image_grid
+
+    os.makedirs(out_dir, exist_ok=True)
+    e4e_encode = None
+    if e4e_params is not None:
+        from tgi.models.e4e import e4e_encode_w0
+        e4e_encode = lambda img: e4e_encode_w0(e4e_params, img)  # noqa: E731
+
+    proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
+                     ProjectorConfig(num_steps=first_inv_steps,
+                                     camera_mode=camera_mode),
+                     e4e_encode=e4e_encode)
+    lp = LPIPSLoss(vgg_params, lpips_head)
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=max_pti_steps))
+
+    results = []
+    key = jax.random.PRNGKey(seed)
+    for path in list_images(image_dir):
+        name = os.path.splitext(os.path.basename(path))[0]
+        t0 = time.time()
+        key, k_proj, k_tune = jax.random.split(key, 3)
+
+        img = load_image(path, size=G.cfg.img_resolution)   # [-1,1]
+        target_255 = jnp.asarray(
+            (load_image(path, size=256) + 1) * 127.5)
+
+        # Stage 1.
+        ws, cam, state, metrics = proj.project(k_proj, target_255)
+        np.save(os.path.join(out_dir, f"{name}_ws.npy"), np.asarray(ws))
+        np.save(os.path.join(out_dir, f"{name}_cam.npy"), np.asarray(cam))
+
+        pivot_out = G.synthesis(gen_params, ws, cam, det=True)
+        if save_pivot:
+            save_image_grid(os.path.join(out_dir, f"{name}_pivot.png"),
+                            np.concatenate([np.asarray(img),
+                                            np.asarray(pivot_out["image"])]))
+
+        # Stage 2.
+        tuned, info = coach.tune(k_tune, gen_params, ws, cam,
+                                 jnp.asarray(img))
+        final_out = G.synthesis(tuned, ws, cam, det=True)
+        save_image_grid(os.path.join(out_dir, f"{name}.png"),
+                        np.concatenate([np.asarray(img),
+                                        np.asarray(final_out["image"])]))
+        from tgi.io import save_checkpoint
+        save_checkpoint(os.path.join(out_dir, f"{name}_G.ckpt"), tuned,
+                        config=G.cfg.__dict__ and None)
+
+        if gen_video:
+            from tgi.apps.gen_videos import gen_interp_video
+            gen_interp_video(G, tuned, ws,
+                             os.path.join(out_dir, f"{name}.mp4"),
+                             num_frames=60, batch=4)
+        if gen_mesh:
+            from tgi.apps.shape import extract_mesh
+            extract_mesh(G, tuned, ws, resolution=256,
+                         out_ply=os.path.join(out_dir, f"{name}.ply"))
+
+        entry = {"image": name, "pti_steps": int(info["steps"]),
+                 "final_lpips": float(info["final_lpips"]),
+                 "sec": round(time.time() - t0, 2)}
+        if do_evaluation:
+            entry.update(evaluate_reconstruction(
+                final_out["image"], jnp.asarray(img), lp, arcface_params))
+            with open(os.path.join(out_dir, f"{name}metrics.txt"),
+                      "w") as f:
+                json.dump(entry, f, indent=1)
+        results.append(entry)
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return results
+
+
+def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
+    """Per-image MSE / LPIPS / MS-SSIM / ID (single_id_coach.py:87-106)."""
+    from tgi.metrics import ms_ssim
+    out = {
+        "mse": float(jnp.mean(jnp.square(gen_img - real_img))),
+        "lpips": float(lpips_loss.from_unit(gen_img, real_img).sum()),
+        "ms_ssim": float(ms_ssim((gen_img + 1) / 2,
+                                 (real_img + 1) / 2).mean()),
+    }
+    if arcface_params is not None:
+        from tgi.losses.id_loss import id_loss
+        from tgi.models.arcface import arcface_apply
+        out["id_similarity"] = 1.0 - float(id_loss(
+            lambda x: arcface_apply(arcface_params, x), gen_img, real_img))
+    return out
+
+
+@click.command()
+@click.option("--network", required=True, help=".pkl / .ckpt generator")
+@click.option("--images", "image_dir", required=True)
+@click.option("--outdir", "out_dir", required=True)
+@click.option("--pose-weights", default=None, help="pose_estimator .pt")
+@click.option("--e4e-weights", default=None)
+@click.option("--vgg-weights", default=None)
+@click.option("--arcface-weights", default=None)
+@click.option("--camera-mode", default="quat",
+              type=click.Choice(["2d", "quat", "6d"]))
+@click.option("--first-inv-steps", default=400)
+@click.option("--max-pti-steps", default=400)
+@click.option("--video/--no-video", "gen_video", default=True)
+@click.option("--mesh/--no-mesh", "gen_mesh", default=False)
+@click.option("--eval/--no-eval", "do_evaluation", default=False)
+def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
+         arcface_weights, camera_mode, first_inv_steps, max_pti_steps,
+         gen_video, gen_mesh, do_evaluation):
+    from tgi.models.pose_resnet import (convert_torch_state_dict,
+                                        resnet34_init)
+    from tgi.models.vgg import (convert_lpips_head, convert_torch_features,
+                                lpips_head_init, vgg16_init)
+
+    G, gen_params = load_any_generator(network)
+    key = jax.random.PRNGKey(0)
+
+    dims = {"2d": 2, "quat": 4, "6d": 6}[camera_mode]
+    if pose_weights:
+        pose_params = convert_torch_state_dict(
+            load_torch_state_dict(pose_weights))
+    else:
+        click.echo("WARNING: random-init pose estimator (no --pose-weights)")
+        pose_params = resnet34_init(key, output_dims=dims)
+
+    if vgg_weights:
+        sd = load_torch_state_dict(vgg_weights)
+        vgg_params = convert_torch_features(sd)
+        lpips_head = convert_lpips_head(sd) or lpips_head_init(key)
+    else:
+        click.echo("WARNING: random-init VGG/LPIPS (no --vgg-weights)")
+        vgg_params = vgg16_init(key)
+        lpips_head = lpips_head_init(key)
+
+    e4e_params = None
+    if e4e_weights:
+        from tgi.models.pose_resnet import convert_torch_state_dict as conv
+        e4e_params = conv(load_torch_state_dict(e4e_weights))
+
+    arc = None
+    if arcface_weights:
+        from tgi.models.arcface import convert_torch_state_dict as conv_arc
+        arc = conv_arc(load_torch_state_dict(arcface_weights))
+
+    run_pti(image_dir, out_dir, G=G, gen_params=gen_params,
+            pose_params=pose_params, vgg_params=vgg_params,
+            lpips_head=lpips_head, e4e_params=e4e_params,
+            arcface_params=arc, camera_mode=camera_mode,
+            first_inv_steps=first_inv_steps, max_pti_steps=max_pti_steps,
+            gen_video=gen_video, gen_mesh=gen_mesh,
+            do_evaluation=do_evaluation)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Stage-2 pivotal tuning: fine-tune the generator around the pivot.
+
+Behavioral parity target: training/coaches/base_coach.py:96-126 +
+single_id_coach.py:64-77. Loss = L2 + LPIPS on both the 512 image and the
+128-resized raw render, plus depth total-variation, with LPIPS-based early
+stopping at 0.06.
+
+TPU-first: the loop is a bounded ``lax.while_loop`` over a jitted step —
+the early-stop test runs on device (the reference pays a .item() sync per
+step, single_id_coach.py:69). The whole stage is one XLA program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tgi.losses.basic import l2_loss
+from tgi.losses.warp import area_downsample
+
+
+def compute_tv_norm(depth):
+    """Squared-difference TV on [1, H, W] depth (base_coach.py:294-305)."""
+    v00 = depth[:, :-1, :-1]
+    v01 = depth[:, :-1, 1:]
+    v10 = depth[:, 1:, :-1]
+    return jnp.mean((v00 - v01) ** 2 + (v00 - v10) ** 2)
+
+
+@dataclass(frozen=True)
+class CoachConfig:
+    max_pti_steps: int = 400
+    pti_learning_rate: float = 3e-4
+    pt_l2_lambda: float = 1.0
+    pt_lpips_lambda: float = 1.0
+    lpips_threshold: float = 0.06
+    raw_resolution: int = 128
+
+
+class PTICoach:
+    """Per-image generator fine-tuning around a fixed (w, camera) pivot."""
+
+    def __init__(self, G, lpips_loss, cfg: CoachConfig = CoachConfig(),
+                 locality_regularizer: Callable | None = None):
+        self.G = G
+        self.lpips = lpips_loss
+        self.cfg = cfg
+        self.locality_regularizer = locality_regularizer
+        self.opt = optax.adam(cfg.pti_learning_rate)
+
+    def _loss(self, params, w_pivot, camera, real_images, key):
+        cfg = self.cfg
+        out = self.G.synthesis(params, w_pivot, camera, noise_mode="const",
+                               det=False, key=key)
+        real_raw = area_downsample(real_images, cfg.raw_resolution)
+        gen_raw = out["image_raw"]
+        if gen_raw.shape[-1] != cfg.raw_resolution:
+            n, c = gen_raw.shape[:2]
+            gen_raw = jax.image.resize(
+                gen_raw, (n, c, cfg.raw_resolution, cfg.raw_resolution),
+                method="linear")
+
+        loss = 0.0
+        l2_val = l2_loss(out["image"], real_images) + \
+            l2_loss(gen_raw, real_raw)
+        loss += l2_val * cfg.pt_l2_lambda
+
+        lp = (self.lpips.from_unit(out["image"], real_images)
+              + self.lpips.from_unit(gen_raw, real_raw)).squeeze()
+        loss += lp * cfg.pt_lpips_lambda
+
+        if self.locality_regularizer is not None:
+            loss += self.locality_regularizer(params, w_pivot, key)
+
+        loss += compute_tv_norm(out["image_depth"][0])
+        return loss, {"l2": l2_val, "lpips": lp}
+
+    def tune(self, key, params, w_pivot, camera, real_images,
+             max_steps=None):
+        """Run PTI; returns (tuned_params, metrics dict).
+
+        real_images: [1, 3, R, R] in [-1, 1]. Early-stops on device when
+        LPIPS <= threshold (checked BEFORE the update, matching
+        single_id_coach.py:69-73).
+        """
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_pti_steps
+        w_pivot = w_pivot[:, :self.G.cfg.num_ws, :]
+        camera = camera[:, :25]
+        grad_fn = jax.grad(self._loss, has_aux=True)
+        opt_state = self.opt.init(params)
+
+        def cond(carry):
+            step, _, _, _, lp = carry
+            return (step < max_steps) & (lp > cfg.lpips_threshold)
+
+        def body(carry):
+            step, params, opt_state, key, _ = carry
+            key, k = jax.random.split(key)
+            grads, aux = grad_fn(params, w_pivot, camera, real_images, k)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return step + 1, params, opt_state, key, aux["lpips"]
+
+        carry = (jnp.asarray(0), params, opt_state, key, jnp.asarray(jnp.inf))
+        step, params, opt_state, key, lp = jax.lax.while_loop(
+            cond, body, carry)
+        return params, {"steps": step, "final_lpips": lp}

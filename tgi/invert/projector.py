@@ -1,0 +1,375 @@
+"""Stage-1 projection: joint w-latent + camera-pose optimization.
+
+Behavioral parity target: training/projectors/w_projector.py:28-280. The
+reference runs 400 eager PyTorch steps with 2 generator renders each and
+per-step host round-trips; here the whole loop is TWO ``lax.scan`` calls
+(camera-preheat phase, then joint phase) over ONE jitted step — the
+800 generator fwd+bwd passes stay on device end to end, which is where
+the >=5x wall-clock target over the RTX 3090 baseline comes from
+(BASELINE.md).
+
+Optimization state (reference w_projector.py:120-131):
+  * w       — single 512-vector latent (tiled to num_ws at render time)
+  * noise   — every SG2 noise_const buffer in backbone + SR, re-randomized
+  * pose    — the whole ResNet-34 pose estimator's weights
+  * translation — camera-frame translation, renormalized to radius 2.7
+Three Adam optimizers with the reference's learning rates; the w/noise
+optimizer's lr follows the ramped cosine schedule and w gets annealed
+exploration noise (w_projector.py:174-188).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tgi.losses.basic import noise_regularization, normalize_noise
+from tgi.losses.warp import area_downsample, calc_warping_loss
+from tgi.models.pose_resnet import resnet34_apply
+from tgi.models.vgg import lpips_features, warping_features
+from tgi.render.cameras import (euler_to_rotmat, quaternion_to_rotmat,
+                                rot6d_to_rotmat)
+
+CANONICAL_EXTRINSIC = np.asarray(
+    [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 2.7], [0, 0, 0, 1]], np.float32)
+DEFAULT_INTRINSIC = np.asarray(
+    [[4.2647, 0, 0.5], [0, 4.2647, 0.5], [0, 0, 1]], np.float32)
+
+
+@dataclass(frozen=True)
+class ProjectorConfig:
+    num_steps: int = 400
+    cam_preheat_steps: int = 50
+    w_avg_samples: int = 5000
+    first_inv_lr: float = 8e-3
+    translation_lr: float = 2e-4
+    cam_lr_2d: float = 6e-6
+    cam_lr_quat: float = 6e-7
+    cam_lr_6d: float = 6e-6
+    camera_mode: str = "quat"        # '2d' | 'quat' | '6d'
+    radius: float = 2.7
+    initial_noise_factor: float = 0.05
+    noise_ramp_length: float = 0.75
+    lr_rampdown_length: float = 0.25
+    lr_rampup_length: float = 0.05
+    regularize_noise_weight: float = 1e5
+    truncation_psi: float = 0.7
+    truncation_cutoff: int = 14
+
+    @property
+    def cam_lr(self):
+        return {"2d": self.cam_lr_2d, "quat": self.cam_lr_quat,
+                "6d": self.cam_lr_6d}[self.camera_mode]
+
+
+# ---------------------------------------------------------------------------
+# Noise-buffer partitioning
+
+
+def collect_noise_paths(params) -> list[tuple]:
+    """Key-paths of every noise_const leaf in backbone + superresolution."""
+    paths = []
+
+    def walk(node, path):
+        for k, v in node.items():
+            if k == "noise_const":
+                paths.append(path + (k,))
+            elif isinstance(v, dict):
+                walk(v, path + (k,))
+
+    for top in ("backbone", "superresolution"):
+        if top in params:
+            walk(params[top], (top,))
+    return sorted(paths)
+
+
+def get_path(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def set_path(tree, path, value):
+    if len(path) == 1:
+        return {**tree, path[0]: value}
+    return {**tree, path[0]: set_path(tree[path[0]], path[1:], value)}
+
+
+def extract_noise(params, paths) -> dict:
+    return {"/".join(p): get_path(params, p) for p in paths}
+
+
+def merge_noise(params, noise: dict):
+    for name, value in noise.items():
+        params = set_path(params, tuple(name.split("/")), value)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Camera assembly (w_projector.py:147-172)
+
+
+def assemble_camera(pose_out, translation, mode: str, radius: float,
+                    intrinsic_flat):
+    """Pose-head output + optimizable translation -> (ext [N,4,4], cam [N,25])."""
+    if mode == "quat":
+        rotmat = quaternion_to_rotmat(pose_out)
+    elif mode == "6d":
+        rotmat = rot6d_to_rotmat(pose_out)
+    else:
+        theta = math.pi / 2 + pose_out[:, 0]
+        phi = math.pi / 2 + pose_out[:, 1]
+        rotmat = euler_to_rotmat(theta, phi)
+
+    n = rotmat.shape[0]
+    pred_translation = -radius * rotmat[:, :3, 2]
+    trans_world = -jnp.einsum("nij,nj->ni", rotmat, translation) * radius
+    t = trans_world + pred_translation
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True) * radius
+
+    ext = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n, 1, 1))
+    ext = ext.at[:, :3, :3].set(rotmat)
+    ext = ext.at[:, :3, 3].set(t)
+    cam = jnp.concatenate([ext.reshape(n, 16),
+                           jnp.tile(intrinsic_flat[None], (n, 1))], axis=-1)
+    return ext, cam
+
+
+# ---------------------------------------------------------------------------
+# Projector
+
+
+class Projector:
+    """Builds and runs the jitted two-phase projection for one target."""
+
+    def __init__(self, G, gen_params, vgg_params, lpips_head, pose_params,
+                 cfg: ProjectorConfig = ProjectorConfig(), e4e_encode=None):
+        self.G = G
+        self.cfg = cfg
+        self.base_params = gen_params
+        self.vgg_params = vgg_params
+        self.lpips_head = lpips_head
+        self.pose_params = pose_params
+        self.e4e_encode = e4e_encode
+        self.noise_paths = collect_noise_paths(gen_params)
+        self.intrinsic = jnp.asarray(DEFAULT_INTRINSIC)
+        self.init_ext = jnp.asarray(CANONICAL_EXTRINSIC)[None]
+        self.canonical_cam = jnp.concatenate(
+            [self.init_ext.reshape(1, 16), self.intrinsic.reshape(1, 9)],
+            axis=-1)
+
+    # -- initialization -----------------------------------------------------
+
+    def compute_w_stats(self, key):
+        """Mean/std of w under the canonical camera
+        (w_projector.py:87-97)."""
+        cfg = self.cfg
+        z = jax.random.normal(key, (cfg.w_avg_samples, self.G.cfg.z_dim))
+        cam = jnp.tile(self.canonical_cam, (cfg.w_avg_samples, 1))
+        ws = self.G.mapping(self.base_params, z, cam,
+                            truncation_psi=cfg.truncation_psi,
+                            truncation_cutoff=cfg.truncation_cutoff)
+        w = ws[:, 0, :]
+        w_avg = w.mean(axis=0, keepdims=True)
+        w_std = jnp.sqrt(jnp.sum(jnp.square(w - w_avg)) / cfg.w_avg_samples)
+        return w_avg[None], w_std          # [1,1,D], scalar
+
+    def init_state(self, key, target_255):
+        """target_255: [1, 3, 256, 256] in [0, 255]."""
+        cfg = self.cfg
+        k_stats, k_noise = jax.random.split(key)
+        w_avg, w_std = self.compute_w_stats(k_stats)
+        start_w = w_avg
+        if self.e4e_encode is not None:
+            start_w = w_avg + self.e4e_encode(target_255)[:, None, :]
+
+        # Re-randomize noise buffers (w_projector.py:126-131).
+        noise = {}
+        for i, p in enumerate(self.noise_paths):
+            sub = jax.random.fold_in(k_noise, i)
+            noise["/".join(p)] = jax.random.normal(
+                sub, get_path(self.base_params, p).shape)
+
+        train_state = {
+            "w": start_w,
+            "noise": noise,
+            "translation": jnp.zeros((1, 3)),
+            "pose": self.pose_params,
+        }
+        opts = self._optimizers()
+        opt_states = {
+            "w": opts["w"].init({"w": train_state["w"],
+                                 "noise": train_state["noise"]}),
+            "cam": opts["cam"].init(train_state["pose"]),
+            "trans": opts["trans"].init(train_state["translation"]),
+        }
+        return train_state, opt_states, w_std
+
+    def _optimizers(self):
+        cfg = self.cfg
+        return {
+            "w": optax.inject_hyperparams(optax.adam)(
+                learning_rate=cfg.first_inv_lr, b1=0.9, b2=0.999),
+            "cam": optax.adam(cfg.cam_lr, b1=0.9, b2=0.999),
+            "trans": optax.adam(cfg.translation_lr, b1=0.9, b2=0.999),
+        }
+
+    # -- loss ---------------------------------------------------------------
+
+    def _loss(self, train_state, target_255, target_lpips_feats, w_noise,
+              key):
+        cfg = self.cfg
+        G = self.G
+        num_ws = G.cfg.num_ws
+        k_pred, k_canon = jax.random.split(key)
+
+        pose_out = resnet34_apply(train_state["pose"], target_255)
+        pred_ext, pred_cam = assemble_camera(
+            pose_out, train_state["translation"], cfg.camera_mode,
+            cfg.radius, self.intrinsic.reshape(9))
+
+        ws = jnp.tile(train_state["w"] + w_noise, (1, num_ws, 1))
+        gen_params = merge_noise(self.base_params, train_state["noise"])
+
+        pred = G.synthesis(gen_params, ws, pred_cam, noise_mode="const",
+                           det=False, key=k_pred, force_fp32=True)
+        pred_depth = pred["image_depth"]
+        pred_images_255 = pred["image"] * 127.5 + 128
+
+        # Canonical view for the warping loss; latent detached
+        # (w_projector.py:203-205) — pose/noise still receive gradient.
+        canon = G.synthesis(gen_params, jax.lax.stop_gradient(ws),
+                            self.canonical_cam, noise_mode="const",
+                            det=False, key=k_canon, force_fp32=True)
+        vgg_fn = partial(warping_features, self.vgg_params)
+        warp_loss, _ = calc_warping_loss(
+            canon["image"], vgg_fn, pred_ext, self.init_ext,
+            self.intrinsic[None], pred_depth, target_255)
+
+        # LPIPS feature distance at <=256 (w_projector.py:215-218).
+        if pred_images_255.shape[-1] > 256:
+            pred_images_255 = area_downsample(pred_images_255, 256)
+        elif pred_images_255.shape[-1] < 256:
+            # Tiny test configs render below 256; upsample to match the
+            # target feature grid (no reference counterpart — SR output is
+            # always >= 256 there).
+            n, c = pred_images_255.shape[:2]
+            pred_images_255 = jax.image.resize(
+                pred_images_255, (n, c, 256, 256), method="linear")
+        synth_feats = lpips_features(self.vgg_params, self.lpips_head,
+                                     pred_images_255)
+        dist = jnp.sum(jnp.square(target_lpips_feats - synth_feats))
+
+        reg = noise_regularization(train_state["noise"])
+        loss = dist + reg * cfg.regularize_noise_weight + warp_loss
+        return loss, {"dist": dist, "warp": warp_loss, "noise_reg": reg,
+                      "pred_cam": pred_cam}
+
+    # -- stepping -----------------------------------------------------------
+
+    def _make_step(self, target_255, target_lpips_feats, w_std, preheat: bool):
+        cfg = self.cfg
+        opts = self._optimizers()
+        grad_fn = jax.grad(self._loss, has_aux=True)
+
+        def step(carry, step_idx):
+            train_state, opt_states, key = carry
+            key, k_loss, k_wnoise = jax.random.split(key, 3)
+
+            t = ((step_idx - cfg.cam_preheat_steps)
+                 / max(cfg.num_steps - cfg.cam_preheat_steps, 1))
+            w_noise_scale = (w_std * cfg.initial_noise_factor
+                             * jnp.maximum(0.0, 1.0 - t / cfg.noise_ramp_length) ** 2)
+            lr_ramp = jnp.minimum(1.0, (1.0 - t) / cfg.lr_rampdown_length)
+            lr_ramp = 0.5 - 0.5 * jnp.cos(lr_ramp * jnp.pi)
+            lr_ramp = lr_ramp * jnp.minimum(1.0, t / cfg.lr_rampup_length)
+            lr = cfg.first_inv_lr * lr_ramp
+
+            w_noise = (jnp.zeros_like(train_state["w"]) if preheat else
+                       jax.random.normal(k_wnoise, train_state["w"].shape)
+                       * w_noise_scale)
+
+            grads, aux = grad_fn(train_state, target_255,
+                                 target_lpips_feats, w_noise, k_loss)
+
+            # Camera + translation always step (w_projector.py:248-261).
+            cam_updates, cam_state = opts["cam"].update(
+                grads["pose"], opt_states["cam"], train_state["pose"])
+            pose = optax.apply_updates(train_state["pose"], cam_updates)
+            tr_updates, tr_state = opts["trans"].update(
+                grads["translation"], opt_states["trans"],
+                train_state["translation"])
+            translation = optax.apply_updates(train_state["translation"],
+                                              tr_updates)
+
+            if preheat:
+                w = train_state["w"]
+                noise = train_state["noise"]
+                w_state = opt_states["w"]
+            else:
+                w_state_in = opt_states["w"]._replace(
+                    hyperparams={**opt_states["w"].hyperparams,
+                                 "learning_rate": lr})
+                w_updates, w_state = opts["w"].update(
+                    {"w": grads["w"], "noise": grads["noise"]}, w_state_in,
+                    {"w": train_state["w"], "noise": train_state["noise"]})
+                merged = optax.apply_updates(
+                    {"w": train_state["w"], "noise": train_state["noise"]},
+                    w_updates)
+                w, noise = merged["w"], merged["noise"]
+
+            noise = {k: normalize_noise(v) for k, v in noise.items()}
+            new_state = {"w": w, "noise": noise, "translation": translation,
+                         "pose": pose}
+            new_opts = {"w": w_state, "cam": cam_state, "trans": tr_state}
+            metrics = {"loss": aux["dist"] + aux["warp"],
+                       "dist": aux["dist"], "warp": aux["warp"]}
+            return (new_state, new_opts, key), metrics
+
+        return step
+
+    def project(self, key, target_255, num_steps=None):
+        """Run the full two-phase projection.
+
+        Returns (ws [1, num_ws, D], camera [1, 25], final_state, metrics).
+        """
+        cfg = self.cfg
+        num_steps = num_steps or cfg.num_steps
+        k_init, k_loop = jax.random.split(key)
+        target_255 = jnp.asarray(target_255, jnp.float32)
+        target_feats = lpips_features(self.vgg_params, self.lpips_head,
+                                      target_255)
+
+        train_state, opt_states, w_std = self.init_state(k_init, target_255)
+
+        preheat_steps = min(cfg.cam_preheat_steps, num_steps)
+        step_a = self._make_step(target_255, target_feats, w_std,
+                                 preheat=True)
+        step_b = self._make_step(target_255, target_feats, w_std,
+                                 preheat=False)
+
+        carry = (train_state, opt_states, k_loop)
+        carry, metrics_a = jax.lax.scan(step_a, carry,
+                                        jnp.arange(preheat_steps))
+        metrics_b = None
+        if num_steps > preheat_steps:
+            carry, metrics_b = jax.lax.scan(
+                step_b, carry, jnp.arange(preheat_steps, num_steps))
+        train_state, opt_states, _ = carry
+
+        # Final camera from the tuned pose head (no w noise).
+        pose_out = resnet34_apply(train_state["pose"], target_255)
+        _, pred_cam = assemble_camera(
+            pose_out, train_state["translation"], cfg.camera_mode,
+            cfg.radius, self.intrinsic.reshape(9))
+        ws = jnp.tile(train_state["w"], (1, self.G.cfg.num_ws, 1))
+        metrics = metrics_a if metrics_b is None else jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b]), metrics_a, metrics_b)
+        return ws, pred_cam, train_state, metrics

@@ -1,0 +1,131 @@
+"""ResNet-34 pose estimator head.
+
+Behavioral parity target: scripts/resnet/resnet.py:124-368 (torchvision
+ResNet fork with a configurable ``output_dims`` head: 2 = euler yaw/pitch,
+4 = quaternion, 6 = 6D rotation; selected in scripts/run_pti.py:36-45).
+
+Param names mirror the torchvision state_dict (conv1, bn1, layer{1-4}.{i}.
+conv{1,2}/bn{1,2}/downsample) so pretrained pose_estimator.pt weights port
+by direct rename. BatchNorm runs in inference mode (running stats) — the
+reference deep-copies the estimator with .eval() before per-image
+fine-tuning (w_projector.py:62), so stats are frozen while weights train.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv_init(key, out_c, in_c, k):
+    fan_in = in_c * k * k
+    std = (2.0 / fan_in) ** 0.5
+    return jax.random.normal(key, (out_c, in_c, k, k), jnp.float32) * std
+
+
+def _bn_init(c):
+    return {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+            "running_mean": jnp.zeros((c,)), "running_var": jnp.ones((c,))}
+
+
+def _conv(x, w, stride=1, padding=0):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
+def _bn(params, x, eps=1e-5):
+    scale = params["weight"] * jax.lax.rsqrt(params["running_var"] + eps)
+    shift = params["bias"] - params["running_mean"] * scale
+    return x * scale[None, :, None, None] + shift[None, :, None, None]
+
+
+BLOCKS_34 = (3, 4, 6, 3)
+WIDTHS = (64, 128, 256, 512)
+
+
+def resnet34_init(key, output_dims: int = 6):
+    keys = iter(jax.random.split(key, 64))
+    params = {"conv1": {"weight": _conv_init(next(keys), 64, 3, 7)},
+              "bn1": _bn_init(64)}
+    in_c = 64
+    for li, (n_blocks, width) in enumerate(zip(BLOCKS_34, WIDTHS), start=1):
+        layer = {}
+        for bi in range(n_blocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            block = {
+                "conv1": {"weight": _conv_init(next(keys), width, in_c, 3)},
+                "bn1": _bn_init(width),
+                "conv2": {"weight": _conv_init(next(keys), width, width, 3)},
+                "bn2": _bn_init(width),
+            }
+            if stride != 1 or in_c != width:
+                block["downsample"] = {
+                    "0": {"weight": _conv_init(next(keys), width, in_c, 1)},
+                    "1": _bn_init(width),
+                }
+            layer[str(bi)] = block
+            in_c = width
+        params[f"layer{li}"] = layer
+    # Reference head: fc(512->1000) -> relu -> fc2(1000->128) -> relu ->
+    # fc3(128->output_dims) -> tanh (scripts/resnet/resnet.py:158-224).
+    def linear(k, out_f, in_f):
+        bound = (1.0 / in_f) ** 0.5
+        kw, kb = jax.random.split(k)
+        return {"weight": jax.random.uniform(kw, (out_f, in_f),
+                                             minval=-bound, maxval=bound),
+                "bias": jax.random.uniform(kb, (out_f,), minval=-bound,
+                                           maxval=bound)}
+
+    params["fc"] = linear(next(keys), 1000, 512)
+    params["fc2"] = linear(next(keys), 128, 1000)
+    params["fc3"] = linear(next(keys), output_dims, 128)
+    return params
+
+
+def _basic_block(params, x, stride):
+    identity = x
+    out = _conv(x, params["conv1"]["weight"], stride=stride, padding=1)
+    out = jax.nn.relu(_bn(params["bn1"], out))
+    out = _conv(out, params["conv2"]["weight"], padding=1)
+    out = _bn(params["bn2"], out)
+    if "downsample" in params:
+        identity = _bn(params["downsample"]["1"],
+                       _conv(x, params["downsample"]["0"]["weight"],
+                             stride=stride))
+    return jax.nn.relu(out + identity)
+
+
+def resnet34_apply(params, x):
+    """x: [N, 3, H, W] -> [N, output_dims]."""
+    x = _conv(x, params["conv1"]["weight"], stride=2, padding=3)
+    x = jax.nn.relu(_bn(params["bn1"], x))
+    # maxpool 3x3 stride 2 pad 1
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                              (1, 1, 3, 3), (1, 1, 2, 2),
+                              ((0, 0), (0, 0), (1, 1), (1, 1)))
+    for li, n_blocks in enumerate(BLOCKS_34, start=1):
+        for bi in range(n_blocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            x = _basic_block(params[f"layer{li}"][str(bi)], x, stride)
+    x = x.mean(axis=(2, 3))  # adaptive avg pool to 1x1
+    x = jax.nn.relu(x @ params["fc"]["weight"].T + params["fc"]["bias"])
+    x = jax.nn.relu(x @ params["fc2"]["weight"].T + params["fc2"]["bias"])
+    x = x @ params["fc3"]["weight"].T + params["fc3"]["bias"]
+    return jnp.tanh(x)
+
+
+def convert_torch_state_dict(sd: dict) -> dict:
+    """torchvision-style ResNet state_dict {name: numpy} -> params tree."""
+    import numpy as np
+    out: dict = {}
+    for name, v in sd.items():
+        if "num_batches_tracked" in name:
+            continue
+        parts = name.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(v), jnp.float32)
+    return out

@@ -1,0 +1,2 @@
+from tgi.parallel.mesh import (make_mesh, shard_batch, replicate,
+                               data_sharding, ray_sharding)

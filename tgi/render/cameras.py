@@ -120,27 +120,25 @@ def quaternion_to_rotmat(quat):
     return mat.reshape(B, 3, 3)
 
 
-def euler_to_rotmat(theta, phi):
-    """2-angle (yaw, pitch) camera rotation as used by the 2D pose head.
-
-    Matches the reference euler2rot for the camera-on-sphere convention
-    (camera_utils.py:241-257).
+def euler_to_rotmat(theta, phi, radius=2.7):
+    """Camera-on-sphere rotation from (yaw, pitch), as the reference's
+    euler2rot builds it (camera_utils.py:241-257): place the camera at the
+    spherical position, look at the origin; return the cam2world rotation.
     """
-    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
-    sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
-    zeros = jnp.zeros_like(sin_t)
-    ones = jnp.ones_like(sin_t)
-    rot_y = jnp.stack([cos_t, zeros, sin_t,
-                       zeros, ones, zeros,
-                       -sin_t, zeros, cos_t], -1).reshape(-1, 3, 3)
-    rot_x = jnp.stack([ones, zeros, zeros,
-                       zeros, cos_p, -sin_p,
-                       zeros, sin_p, cos_p], -1).reshape(-1, 3, 3)
-    return rot_y @ rot_x
+    theta = jnp.atleast_1d(jnp.asarray(theta, jnp.float32))
+    phi = jnp.atleast_1d(jnp.asarray(phi, jnp.float32))
+    origins = jnp.stack([
+        radius * jnp.sin(phi) * jnp.cos(math.pi - theta),
+        radius * jnp.cos(phi),
+        radius * jnp.sin(phi) * jnp.sin(math.pi - theta)], axis=-1)
+    forward = normalize_vecs(-origins)
+    return create_cam2world_matrix(forward, origins)[:, :3, :3]
 
 
 def rot6d_to_rotmat(x):
-    """Zhou et al. 6D -> rotation matrix (camera_utils.py:259-273)."""
+    """Zhou et al. 6D -> rotation matrix (camera_utils.py:259-273);
+    keeps the reference's +1e-4 degeneracy guard."""
+    x = x + 1e-4
     a1 = x[:, 0:3]
     a2 = x[:, 3:6]
     b1 = normalize_vecs(a1)
