@@ -1,0 +1,101 @@
+"""Tests for shape extraction, image utils, stats and datasets."""
+
+import io
+import json
+import os
+import zipfile
+from collections import Counter
+
+import numpy as np
+
+from tgi.utils.marching import marching_tetrahedra, save_mrc, save_ply
+from tgi.utils.stats import Collector
+from tgi.metrics.gan_metrics import (frechet_distance, kid_from_features,
+                                     knn_precision_recall)
+
+
+def test_marching_tetrahedra_sphere(tmp_path):
+    g = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    field = 0.5 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    verts, faces = marching_tetrahedra(field, 0.0, 2 / 23, (-1, -1, -1))
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 0.5) < 0.02 and r.std() < 0.02
+
+    # Watertight: every edge shared by exactly two triangles.
+    edges = Counter()
+    for f in faces:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edges[tuple(sorted((int(a), int(b))))] += 1
+    assert all(c == 2 for c in edges.values())
+
+    ply = tmp_path / "s.ply"
+    save_ply(str(ply), verts, faces)
+    head = ply.read_text().splitlines()
+    assert head[0] == "ply" and f"element vertex {len(verts)}" in head[2]
+
+    mrc = tmp_path / "s.mrc"
+    save_mrc(str(mrc), field.astype(np.float32))
+    raw = mrc.read_bytes()
+    assert len(raw) == 1024 + field.size * 4
+    assert raw[208:212] == b"MAP "
+
+
+def test_collector_moments():
+    c = Collector()
+    xs = np.asarray([1.0, 2.0, 3.0, 4.0])
+    c.report("loss", xs)
+    c.report("loss", np.asarray([5.0]))
+    assert abs(c.mean("loss") - 3.0) < 1e-6
+    assert abs(c.std("loss") - np.std([1, 2, 3, 4, 5])) < 1e-5
+    d = c.as_dict()
+    assert d["loss"]["num"] == 5
+
+
+def test_frechet_distance_identity(rng):
+    x = rng.randn(500, 8).astype(np.float64)
+    mu, cov = x.mean(0), np.cov(x, rowvar=False)
+    assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+    y = x + 3.0
+    d = frechet_distance(y.mean(0), np.cov(y, rowvar=False), mu, cov)
+    assert abs(d - 8 * 9) < 1.0     # ||3*ones(8)||² = 72
+
+
+def test_kid_and_pr(rng):
+    real = rng.randn(256, 16).astype(np.float32)
+    same = rng.randn(256, 16).astype(np.float32)
+    far = same + 5.0
+    kid_same = kid_from_features(real, same, num_subsets=10,
+                                 max_subset_size=128)
+    kid_far = kid_from_features(real, far, num_subsets=10,
+                                max_subset_size=128)
+    assert kid_far > kid_same
+    p_same, r_same = knn_precision_recall(real, same)
+    p_far, r_far = knn_precision_recall(real, far)
+    # k-NN manifold test on two same-distribution samples sits well above
+    # the disjoint-distribution case.
+    assert p_same > 0.5 and r_same > 0.5
+    assert p_far < 0.1 and r_far < 0.1
+
+
+def test_image_folder_dataset_zip(tmp_path, rng):
+    from PIL import Image
+    from tgi.train.dataset import ImageFolderDataset, infinite_batches
+    zpath = tmp_path / "d.zip"
+    labels = []
+    with zipfile.ZipFile(zpath, "w") as z:
+        for i in range(4):
+            arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            z.writestr(f"img{i}.png", buf.getvalue())
+            labels.append([f"img{i}.png", list(np.eye(25)[0])])
+        z.writestr("dataset.json", json.dumps({"labels": labels}))
+    ds = ImageFolderDataset(str(zpath), resolution=16, xflip=True)
+    assert len(ds) == 8 and ds.label_dim == 25
+    img, lbl = ds[0]
+    assert img.shape == (3, 16, 16) and -1 <= img.min() <= img.max() <= 1
+    imgf, _ = ds[4]   # flipped twin
+    np.testing.assert_allclose(imgf, img[:, :, ::-1], atol=1e-6)
+    b_img, b_lbl = next(infinite_batches(ds, 2))
+    assert b_img.shape == (2, 3, 16, 16) and b_lbl.shape == (2, 25)

@@ -1,0 +1,175 @@
+"""Interactive visualizer — browser-based equivalent of the reference's
+imgui/OpenGL viz layer.
+
+Behavioral parity target: viz/renderer.py:125-448 + the widget panels
+(pose, truncation/noise, style mixing, render type, depth-sample
+multipliers, backbone cache — viz/*.py). The reference ships GL widgets
+with no launcher (SURVEY.md section 2.11); on a headless TPU host the
+native equivalent is an HTTP UI: sliders drive a jitted renderer, frames
+stream as PNG. Zero GL/glfw/imgui dependencies.
+
+Run:  python -m tgi.apps.visualizer --network G.pkl --port 8000
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+PAGE = """<!doctype html>
+<html><head><title>tgi visualizer</title><style>
+body{font-family:monospace;background:#111;color:#ddd;display:flex;gap:24px;padding:24px}
+label{display:block;margin:8px 0 2px}input[type=range]{width:260px}
+img{image-rendering:pixelated;border:1px solid #333}
+select,input[type=number]{background:#222;color:#ddd;border:1px solid #444}
+</style></head><body>
+<div>
+<h3>tgi visualizer</h3>
+<label>seed <input id="seed" type="number" value="0"></label>
+<label>yaw <input id="yaw" type="range" min="-0.8" max="0.8" step="0.02" value="0"></label>
+<label>pitch <input id="pitch" type="range" min="-0.5" max="0.5" step="0.02" value="0"></label>
+<label>truncation <input id="trunc" type="range" min="0" max="1" step="0.05" value="0.7"></label>
+<label>render <select id="rtype"><option>image</option><option>image_raw</option>
+<option>image_depth</option></select></label>
+<label>depth mult <select id="mult"><option>1</option><option selected>2</option></select></label>
+<div id="stat"></div>
+</div>
+<img id="view" width="512" height="512">
+<script>
+const els = ["seed","yaw","pitch","trunc","rtype","mult"].map(id=>document.getElementById(id));
+let busy=false, dirty=false;
+async function refresh(){
+  if(busy){dirty=true;return} busy=true;
+  const q = new URLSearchParams(); const t0=performance.now();
+  els.forEach(e=>q.set(e.id,e.value));
+  const r = await fetch("/render?"+q); const b = await r.blob();
+  document.getElementById("view").src = URL.createObjectURL(b);
+  document.getElementById("stat").textContent =
+      (performance.now()-t0).toFixed(0)+" ms";
+  busy=false; if(dirty){dirty=false;refresh()}
+}
+els.forEach(e=>e.addEventListener("input",refresh)); refresh();
+</script></body></html>"""
+
+
+class VisualizerState:
+    """Render core with plane caching (viz/renderer.py backbone-cache
+    widget) and per-config jit reuse."""
+
+    def __init__(self, G, params):
+        self.G = G
+        self.params = params
+        self._plane_cache = {}
+        self._render_jit = {}
+
+    def render(self, seed=0, yaw=0.0, pitch=0.0, trunc=0.7, rtype="image",
+               mult=2):
+        from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                        pack_camera)
+        G = self.G
+        rk = G.cfg.rendering_kwargs
+        if mult != 1:
+            G = type(G)(G.cfg.with_rendering(
+                depth_resolution=int(rk["depth_resolution"] * mult),
+                depth_resolution_importance=int(
+                    rk["depth_resolution_importance"] * mult)))
+
+        cam = look_at_pose(np.pi / 2 + yaw, np.pi / 2 + pitch,
+                           jnp.asarray([0., 0., 0.2]), radius=2.7)
+        c = pack_camera(cam[None], fov_to_intrinsics(18.837))
+
+        ckey = (seed, round(trunc, 3))
+        if ckey not in self._plane_cache:
+            z = jax.random.normal(jax.random.PRNGKey(seed), (1, G.cfg.z_dim))
+            cond = pack_camera(
+                look_at_pose(np.pi / 2, np.pi / 2, jnp.asarray([0., 0., 0.2]),
+                             radius=2.7)[None], fov_to_intrinsics(18.837))
+            ws = G.mapping(self.params, z, cond, truncation_psi=trunc,
+                           truncation_cutoff=14)
+            planes = G.backbone_planes(self.params, ws)
+            self._plane_cache = {ckey: (ws, planes)}   # keep last only
+        ws, planes = self._plane_cache[ckey]
+
+        if mult not in self._render_jit:
+            Gm = G
+
+            @jax.jit
+            def render(params, ws, c, planes):
+                return Gm.synthesis(params, ws, c, det=True, planes=planes)
+
+            self._render_jit[mult] = render
+        out = self._render_jit[mult](self.params, ws, c, planes)
+
+        img = np.asarray(out[rtype])[0]
+        if rtype == "image_depth":
+            d = (img - img.min()) / (img.ptp() + 1e-8)
+            img = np.repeat(d, 3, axis=0) * 2 - 1
+        return img
+
+
+def make_handler(state: VisualizerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(PAGE.encode())
+                return
+            if url.path != "/render":
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            img = state.render(
+                seed=int(q.get("seed", 0)), yaw=float(q.get("yaw", 0)),
+                pitch=float(q.get("pitch", 0)),
+                trunc=float(q.get("trunc", 0.7)),
+                rtype=q.get("rtype", "image"), mult=int(q.get("mult", 2)))
+            from tgi.utils.image import to_uint8
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(to_uint8(img), "RGB").save(buf, format="PNG")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.end_headers()
+            self.wfile.write(buf.getvalue())
+
+    return Handler
+
+
+def serve(G, params, port=8000):
+    state = VisualizerState(G, params)
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
+    print(f"tgi visualizer on http://127.0.0.1:{port}")
+    server.serve_forever()
+
+
+def main():
+    import click
+
+    @click.command()
+    @click.option("--network", required=True)
+    @click.option("--port", default=8000)
+    def cli(network, port):
+        from tgi.apps.run_pti import load_any_generator
+        G, params = load_any_generator(network)
+        serve(G, params, port)
+
+    cli()
+
+
+if __name__ == "__main__":
+    main()

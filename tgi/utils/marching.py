@@ -64,9 +64,35 @@ def marching_tetrahedra(grid: np.ndarray, level: float = 0.0,
     if len(idx) == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
 
-    cell_pos = idx.astype(np.float32)
+    # Crack-free decomposition: odd-parity cells use the point-reflected
+    # tets (corner i -> 7-i) so shared-face diagonals agree between
+    # neighboring cells.
+    parity = (idx.sum(axis=1) % 2).astype(bool)
     tris = []
-    for tet in TETS:
+    for cells, tets in ((~parity, TETS), (parity, 7 - TETS)):
+        if not cells.any():
+            continue
+        tris += _polygonise_cells(idx[cells].astype(np.float32),
+                                  corner_vals[cells], tets, level)
+
+    if not tris:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    tri_verts = np.concatenate(tris, axis=0)            # [F, 3, 3]
+    verts = tri_verts.reshape(-1, 3) * spacing + np.asarray(origin)
+    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+    # Weld duplicate vertices. Shared edges are interpolated by different
+    # tets with operands in different order, so keys must absorb fp noise:
+    # quantize at 1e-4 of a voxel.
+    uniq, inverse = np.unique(np.round(verts / spacing * 1e4).astype(
+        np.int64), axis=0, return_inverse=True)
+    welded = np.zeros((len(uniq), 3), np.float32)
+    welded[inverse] = verts
+    return welded.astype(np.float32), inverse[faces].astype(np.int32)
+
+
+def _polygonise_cells(cell_pos, corner_vals, tets, level):
+    tris = []
+    for tet in tets:
         v = corner_vals[:, tet]                         # [M, 4]
         p = cell_pos[:, None, :] + CORNERS[tet][None]   # [M, 4, 3]
         inside = v > level                              # [M, 4]
@@ -99,18 +125,7 @@ def marching_tetrahedra(grid: np.ndarray, level: float = 0.0,
                      _interp(pm[:, a1], pm[:, b0], vm[:, a1], vm[:, b0], level)]
                 tris.append(np.stack([q[0], q[1], q[2]], axis=1))
                 tris.append(np.stack([q[0], q[2], q[3]], axis=1))
-
-    if not tris:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
-    tri_verts = np.concatenate(tris, axis=0)            # [F, 3, 3]
-    verts = tri_verts.reshape(-1, 3) * spacing + np.asarray(origin)
-    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
-    # Weld duplicate vertices.
-    uniq, inverse = np.unique(np.round(verts / (spacing * 1e-4)).astype(
-        np.int64), axis=0, return_inverse=True)
-    welded = np.zeros((len(uniq), 3), np.float32)
-    welded[inverse] = verts
-    return welded.astype(np.float32), inverse[faces].astype(np.int32)
+    return tris
 
 
 def save_ply(path, verts, faces):
