@@ -31,13 +31,30 @@ STAGE2_STEPS = 400
 
 
 def timeit(fn, *args, warmup=2, iters=8):
+    """Wall-clock with a device sync every iteration (the axon relay can
+    otherwise report async dispatch time, not execution time)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def timeit_chained(render_scalar_fn, n=10):
+    """Device-bound timing: chain n dependent evaluations inside one jit
+    (excludes per-call host/relay overhead)."""
+    @jax.jit
+    def run(s):
+        out, _ = jax.lax.scan(lambda s, _: (render_scalar_fn(s), None), s,
+                              None, length=n)
+        return out
+    float(run(jnp.float32(0)))
+    t0 = time.perf_counter()
+    float(run(jnp.float32(0)))
+    return (time.perf_counter() - t0) / n
 
 
 def main():
@@ -59,12 +76,12 @@ def main():
     c = pack_camera(cam[None], fov_to_intrinsics(18.837))
     ws = jnp.zeros((1, G.cfg.num_ws, 512))
 
-    # 1) 512² render (gen_videos inner loop).
-    @jax.jit
-    def render(params, ws, c):
-        return G.synthesis(params, ws, c, det=True)["image"]
+    # 1) 512² render (gen_videos inner loop), device-bound.
+    def render_scalar(s):
+        return jnp.mean(G.synthesis(params, ws + s, c,
+                                    det=True)["image"]) * 1e-6
 
-    render_ms = timeit(render, params, ws, c, warmup=2, iters=16) * 1e3
+    render_ms = timeit_chained(render_scalar, n=10) * 1e3
 
     # 2) stage-1 projection step.
     kv, kh, kp = jax.random.split(key, 3)

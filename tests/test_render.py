@@ -153,6 +153,29 @@ def test_unify_samples_sorted(rng):
     assert got_pairs == pairs
 
 
+def test_merged_march_equals_unify_plus_marcher(rng):
+    """The TPU-shaped fused path must match the reference formulation."""
+    from tgi.render.importance import merged_march
+    N, M, S1, S2, C = 1, 7, 6, 5, 4
+    d1 = np.sort(rng.rand(N, M, S1, 1).astype(np.float32) + 2, axis=2)
+    d2 = np.sort(rng.rand(N, M, S2, 1).astype(np.float32) + 2, axis=2)
+    c1 = rng.rand(N, M, S1, C).astype(np.float32)
+    c2 = rng.rand(N, M, S2, C).astype(np.float32)
+    s1 = rng.randn(N, M, S1, 1).astype(np.float32)
+    s2 = rng.randn(N, M, S2, 1).astype(np.float32)
+    args = tuple(jnp.asarray(v) for v in (d1, c1, s1, d2, c2, s2))
+
+    ad, ac, asig = unify_samples(*args)
+    want_rgb, want_depth, want_w = mip_ray_marcher(ac, asig, ad)
+    got_rgb, got_depth, got_w = merged_march(*args)
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(want_rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_camera_pack_and_lookat():
     cam = look_at_pose(np.pi / 2, np.pi / 2, jnp.asarray([0., 0., 0.2]),
                        radius=2.7)

@@ -41,6 +41,24 @@ def test_marching_tetrahedra_sphere(tmp_path):
     assert raw[208:212] == b"MAP "
 
 
+def test_marching_native_matches_numpy():
+    from tgi.utils.native_build import available
+    from tgi.utils.marching import _marching_tetrahedra_numpy
+    if not available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    g = np.linspace(-1, 1, 20)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    field = (0.4 - np.sqrt(X ** 2 + 2 * Y ** 2 + Z ** 2)).astype(np.float32)
+    vn, fn = marching_tetrahedra(field, 0.0, 2 / 19, (-1, -1, -1),
+                                 use_native=True)
+    vp, fp = _marching_tetrahedra_numpy(field, 0.0, 2 / 19, (-1, -1, -1))
+    assert vn.shape == vp.shape and fn.shape == fp.shape
+    kn = set(map(tuple, np.round(vn * 5e3).astype(int)))
+    kp = set(map(tuple, np.round(vp * 5e3).astype(int)))
+    assert kn == kp
+
+
 def test_collector_moments():
     c = Collector()
     xs = np.asarray([1.0, 2.0, 3.0, 4.0])

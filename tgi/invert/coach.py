@@ -56,7 +56,15 @@ class PTICoach:
         cfg = self.cfg
         out = self.G.synthesis(params, w_pivot, camera, noise_mode="const",
                                det=False, key=key)
-        real_raw = area_downsample(real_images, cfg.raw_resolution)
+        if real_images.shape[-1] > cfg.raw_resolution:
+            real_raw = area_downsample(real_images, cfg.raw_resolution)
+        elif real_images.shape[-1] < cfg.raw_resolution:
+            n, ch = real_images.shape[:2]
+            real_raw = jax.image.resize(
+                real_images, (n, ch, cfg.raw_resolution, cfg.raw_resolution),
+                method="linear")
+        else:
+            real_raw = real_images
         gen_raw = out["image_raw"]
         if gen_raw.shape[-1] != cfg.raw_resolution:
             n, c = gen_raw.shape[:2]

@@ -74,6 +74,10 @@ class GeneratorConfig:
     channel_base: int = 32768
     channel_max: int = 512
     fused_dtype: str = "float32"  # 'bfloat16' for mixed-precision TPU path
+    # dtype the tri-planes are sampled in. bf16 halves the bytes the render
+    # gather moves (the pipeline's dominant cost on TPU); the decoder MLP
+    # still runs fp32. float32 keeps bit-parity with the reference.
+    plane_dtype: str = "float32"
     rendering_kwargs: Any = field(default_factory=default_rendering_kwargs)
 
     @property
@@ -177,8 +181,8 @@ class TriPlaneGenerator:
                                           force_fp32=force_fp32)
 
         feature_samples, depth_samples, _ = importance_render(
-            planes.astype(jnp.float32), params["decoder"], ray_origins,
-            ray_dirs, rk, key=k_render, det=det)
+            planes.astype(jnp.dtype(cfg.plane_dtype)), params["decoder"],
+            ray_origins, ray_dirs, rk, key=k_render, det=det)
 
         H = W = res
         feature_image = jnp.transpose(feature_samples, (0, 2, 1)).reshape(

@@ -72,12 +72,48 @@ def grid_sample_2d(img: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.transpose(out, (0, 2, 1)).reshape(N, C, Hg, Wg)
 
 
+def _gather_row_pair(img_nhwc, y, x0, H, W):
+    """Gather the (x0, x0+1) column pair of row ``y`` for each point.
+
+    img_nhwc: [N, H, W, C]; y, x0: [N, P] int32 (may be out of range).
+    Returns [N, P, 2, C]. One sliced lax.gather with a 2-wide W window —
+    both x-corners arrive in a single contiguous fetch. (Measured on v5e:
+    2 paired-row gathers beat both 4 per-corner gathers and a single
+    2x2-window gather, which spans two non-contiguous rows.)
+    """
+    N, _, _, C = img_nhwc.shape
+    yc = jnp.clip(y, 0, H - 1)
+    xc = jnp.clip(x0, 0, W - 2)
+    starts = jnp.stack([yc, xc], axis=-1)               # [N, P, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(1,),
+        start_index_map=(1, 2), operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,))
+    return jax.lax.gather(img_nhwc, starts, dnums,
+                          slice_sizes=(1, 1, 2, C),
+                          mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _pair_corners(pair, x0, y, H, W, dtype):
+    """Split a [N, P, 2, C] pair fetch into masked (v_left, v_right)."""
+    # When x0 == W-1 the clipped window is (W-2, W-1): the left value is at
+    # slot 1. When x0 == -1 the window is (0, 1): the right value is at 0.
+    left_hi = (x0 >= W - 1)[..., None]
+    right_lo = (x0 < 0)[..., None]
+    v_l = jnp.where(left_hi, pair[:, :, 1], pair[:, :, 0])
+    v_r = jnp.where(right_lo, pair[:, :, 0], pair[:, :, 1])
+    y_ok = ((y >= 0) & (y < H))[..., None]
+    l_ok = (y_ok & ((x0 >= 0) & (x0 < W))[..., None]).astype(dtype)
+    r_ok = (y_ok & ((x0 + 1 >= 0) & (x0 + 1 < W))[..., None]).astype(dtype)
+    return v_l * l_ok, v_r * r_ok
+
+
 def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
     """Point-list variant: img [N, C, H, W], coords [N, P, 2] -> [N, P, C].
 
-    Avoids the fake Hg/Wg reshape round-trip of the image variant — this is
-    the layout the volumetric renderer actually needs (channels-last point
-    features feeding the decoder MLP).
+    The volumetric-render hot path (renderer.py:55-66 in the reference is
+    an F.grid_sample over ~400k points/frame). Two paired-slice gathers
+    (top row pair, bottom row pair) replace four per-corner gathers.
     """
     N, C, H, W = img.shape
     g = coords.astype(jnp.float32)
@@ -90,11 +126,11 @@ def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
-    img_flat = jnp.transpose(img.reshape(N, C, H * W), (0, 2, 1))
-    v00 = _gather_corner(img_flat, x0, y0, H, W)
-    v01 = _gather_corner(img_flat, x0 + 1, y0, H, W)
-    v10 = _gather_corner(img_flat, x0, y0 + 1, H, W)
-    v11 = _gather_corner(img_flat, x0 + 1, y0 + 1, H, W)
+    img_nhwc = jnp.transpose(img, (0, 2, 3, 1))
+    top_pair = _gather_row_pair(img_nhwc, y0, x0, H, W)
+    bot_pair = _gather_row_pair(img_nhwc, y0 + 1, x0, H, W)
+    v00, v01 = _pair_corners(top_pair, x0, y0, H, W, img.dtype)
+    v10, v11 = _pair_corners(bot_pair, x0, y0 + 1, H, W, img.dtype)
 
     top = v00 + (v01 - v00) * wx
     bot = v10 + (v11 - v10) * wx

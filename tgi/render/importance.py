@@ -62,6 +62,11 @@ def sample_pdf(key, bins, weights, N_importance, det=False, eps=1e-5):
     """Inverse-CDF sampling (renderer.py:269-308).
 
     bins: [R, B+1]; weights: [R, B]. Returns [R, N_importance].
+
+    TPU formulation: searchsorted + the four index gathers become one
+    comparison matrix and one-hot contractions over the small bin axis —
+    pure VPU/MXU work with no gathers (per-row scalar gathers dominate the
+    reference formulation's cost on TPU).
     """
     R, B = weights.shape
     weights = weights + eps
@@ -74,14 +79,21 @@ def sample_pdf(key, bins, weights, N_importance, det=False, eps=1e-5):
     else:
         u = jax.random.uniform(key, (R, N_importance))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(cdf, u, 'right') == #{j : cdf[j] <= u}.
+    cmp = (cdf[:, None, :] <= u[:, :, None])               # [R, NI, B+1]
+    inds = cmp.sum(-1).astype(jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, B)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, B + 1), 2)
+    onehot_b = (below[:, :, None] == iota).astype(cdf.dtype)
+    onehot_a = (above[:, :, None] == iota).astype(cdf.dtype)
+    # Indices only reach B, so any extra trailing bins are unused.
+    bins_used = bins[:, :B + 1]
+    cdf_g0 = jnp.einsum("rnb,rb->rn", onehot_b, cdf)
+    cdf_g1 = jnp.einsum("rnb,rb->rn", onehot_a, cdf)
+    bins_g0 = jnp.einsum("rnb,rb->rn", onehot_b, bins_used)
+    bins_g1 = jnp.einsum("rnb,rb->rn", onehot_a, bins_used)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -102,9 +114,66 @@ def sample_importance(key, z_vals, weights, N_importance, det=False):
     return jax.lax.stop_gradient(samples.reshape(N, M, N_importance, 1))
 
 
+def merged_march(depths1, colors1, densities1, depths2, colors2, densities2,
+                 *, clamp_mode="softplus", white_back=False):
+    """Fused merge-sort + volume rendering of the coarse+fine sample sets.
+
+    Equivalent to unify_samples followed by the mip ray marcher
+    (renderer.py:180-190) but TPU-shaped: the reference formulation sorts
+    the 32-channel color payload with the depths, which XLA lowers to
+    ~12.5M scalar gathers — the single hottest op of the whole pipeline
+    (~140 ms/frame on v5e). Here only (depth, sigma) are sorted; the
+    per-sorted-midpoint weights are redistributed to the ORIGINAL sample
+    positions through the inverse permutation (each sample i receives
+    0.5*(w_{rank(i)-1} + w_{rank(i)})), and the composite is a plain
+    weighted sum of the unsorted colors:
+
+        sum_j w_j * (c_sorted[j] + c_sorted[j+1]) / 2
+            == sum_i c_i * 0.5 * (w_{rank(i)-1} + w_{rank(i)})
+
+    which is the marcher's midpoint compositing, term-reordered.
+    """
+    assert clamp_mode == "softplus"
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    all_colors = jnp.concatenate([colors1, colors2], axis=-2)
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
+
+    order = jnp.argsort(all_depths, axis=-2)
+    d_s = jnp.take_along_axis(all_depths, order, axis=-2)
+    s_s = jnp.take_along_axis(all_densities, order, axis=-2)
+
+    deltas = d_s[:, :, 1:] - d_s[:, :, :-1]
+    densities_mid = jax.nn.softplus((s_s[:, :, :-1] + s_s[:, :, 1:]) / 2 - 1)
+    depths_mid = (d_s[:, :, :-1] + d_s[:, :, 1:]) / 2
+
+    alpha = 1 - jnp.exp(-densities_mid * deltas)
+    alpha_shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2)
+    weights = alpha * jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
+
+    # Midpoint-weight redistribution to original positions.
+    wpad = jnp.pad(weights, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    v = 0.5 * (wpad[:, :, :-1] + wpad[:, :, 1:])        # [N, M, S, 1]
+    rank = jnp.argsort(order, axis=-2)                  # inverse permutation
+    v_orig = jnp.take_along_axis(v, rank, axis=-2)
+
+    composite_rgb = jnp.sum(v_orig * all_colors, axis=-2)
+    weight_total = weights.sum(axis=2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, posinf=jnp.inf,
+                                     nan=jnp.inf)
+    composite_depth = jnp.clip(composite_depth, jnp.min(all_depths),
+                               jnp.max(all_depths))
+    if white_back:
+        composite_rgb = composite_rgb + 1 - weight_total
+    composite_rgb = composite_rgb * 2 - 1
+    return composite_rgb, composite_depth, weights
+
+
 def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
     """Concat coarse+fine and sort by depth along the sample axis
-    (renderer.py:212-222)."""
+    (renderer.py:212-222). Reference formulation — kept for parity tests;
+    the renderer uses :func:`merged_march`."""
     all_depths = jnp.concatenate([depths1, depths2], axis=-2)
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
     all_densities = jnp.concatenate([densities1, densities2], axis=-2)

@@ -15,8 +15,8 @@ import jax.numpy as jnp
 
 from tgi.ops import sample_triplanes
 from tgi.render.decoder import osg_decoder_apply
-from tgi.render.importance import (sample_importance, sample_stratified,
-                                   unify_samples)
+from tgi.render.importance import (merged_march, sample_importance,
+                                   sample_stratified)
 from tgi.render.march import mip_ray_marcher
 from tgi.render.maths import get_ray_limits_box
 
@@ -30,6 +30,9 @@ def run_model(planes, decoder_params, sample_coordinates, options,
     """
     feats = sample_triplanes(planes, sample_coordinates,
                              box_warp=options["box_warp"])
+    # The gather may run in bf16 (plane_dtype) to halve HBM traffic; the
+    # tiny decoder MLP always computes in fp32.
+    feats = feats.astype(jnp.float32)
     out = osg_decoder_apply(decoder_params, feats,
                             lr_multiplier=options.get("decoder_lr_mul", 1.0))
     if options.get("density_noise", 0) > 0:
@@ -108,12 +111,9 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
         colors_fine = out["rgb"].reshape(N, M, N_importance, -1)
         densities_fine = out["sigma"].reshape(N, M, N_importance, 1)
 
-        all_depths, all_colors, all_densities = unify_samples(
+        rgb_final, depth_final, weights = merged_march(
             depths_coarse, colors_coarse, densities_coarse,
-            depths_fine, colors_fine, densities_fine)
-
-        rgb_final, depth_final, weights = mip_ray_marcher(
-            all_colors, all_densities, all_depths,
+            depths_fine, colors_fine, densities_fine,
             clamp_mode=options["clamp_mode"],
             white_back=options.get("white_back", False))
     else:

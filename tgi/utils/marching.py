@@ -11,6 +11,7 @@ volume writer.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -36,7 +37,8 @@ def _interp(p0, p1, v0, v1, level):
 
 
 def marching_tetrahedra(grid: np.ndarray, level: float = 0.0,
-                        spacing: float = 1.0, origin=(0.0, 0.0, 0.0)):
+                        spacing: float = 1.0, origin=(0.0, 0.0, 0.0),
+                        use_native: bool | None = None):
     """Extract the ``grid == level`` isosurface.
 
     Args:
@@ -44,10 +46,59 @@ def marching_tetrahedra(grid: np.ndarray, level: float = 0.0,
         level: iso value.
         spacing: voxel edge length.
         origin: world position of voxel (0,0,0).
+        use_native: force the C++ implementation on/off (default: native
+            when a toolchain is available — required for 512³ grids, where
+            the numpy path's intermediates are prohibitive).
 
     Returns:
         (verts [V, 3] float32, faces [F, 3] int32).
     """
+    if use_native is None:
+        from tgi.utils.native_build import available
+        use_native = available()
+    if use_native:
+        try:
+            return _marching_tetrahedra_native(grid, level, spacing, origin)
+        except Exception:
+            if use_native is True and grid.size > 128 ** 3:
+                raise
+    return _marching_tetrahedra_numpy(grid, level, spacing, origin)
+
+
+def _marching_tetrahedra_native(grid, level, spacing, origin):
+    import ctypes
+
+    from tgi.utils.native_build import get_plugin
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "marching_tet.cpp")
+    lib = get_plugin("tgi_marching", [src])
+    fn = lib.tgi_marching_tetrahedra
+    fn.restype = ctypes.c_int
+
+    grid = np.ascontiguousarray(grid, np.float32)
+    origin_arr = np.asarray(origin, np.float32)
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    faces_p = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int()
+    nf = ctypes.c_int()
+    ret = fn(grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+             *map(ctypes.c_int, grid.shape), ctypes.c_float(level),
+             ctypes.c_float(spacing),
+             origin_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+             ctypes.byref(verts_p), ctypes.byref(nv),
+             ctypes.byref(faces_p), ctypes.byref(nf))
+    if ret != 0:
+        raise RuntimeError("native marching tetrahedra failed")
+    verts = np.ctypeslib.as_array(verts_p, (nv.value, 3)).copy()
+    faces = np.ctypeslib.as_array(faces_p, (nf.value, 3)).copy()
+    lib.tgi_free(verts_p)
+    lib.tgi_free(faces_p)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def _marching_tetrahedra_numpy(grid, level=0.0, spacing=1.0,
+                               origin=(0.0, 0.0, 0.0)):
+    """Vectorized numpy reference implementation."""
     X, Y, Z = grid.shape
     # Cell corner values: [(X-1)(Y-1)(Z-1), 8]
     idx = np.stack(np.meshgrid(np.arange(X - 1), np.arange(Y - 1),
