@@ -108,13 +108,7 @@ def _pair_corners(pair, x0, y, H, W, dtype):
     return v_l * l_ok, v_r * r_ok
 
 
-def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
-    """Point-list variant: img [N, C, H, W], coords [N, P, 2] -> [N, P, C].
-
-    The volumetric-render hot path (renderer.py:55-66 in the reference is
-    an F.grid_sample over ~400k points/frame). Two paired-slice gathers
-    (top row pair, bottom row pair) replace four per-corner gathers.
-    """
+def _grid_sample_points_impl(img: jax.Array, coords: jax.Array) -> jax.Array:
     N, C, H, W = img.shape
     g = coords.astype(jnp.float32)
     ix = _unnormalize(g[..., 0], W)
@@ -135,6 +129,107 @@ def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
     top = v00 + (v01 - v00) * wx
     bot = v10 + (v11 - v10) * wx
     return top + (bot - top) * wy
+
+
+def _corner_weights(x0, y0, wx, wy, H, W):
+    """Per-point row-pair splat weights with validity masks and clip-slot
+    fixups, matching _pair_corners' forward conventions.
+
+    Returns (y_top, y_bot, x_clamped, w_top [N,P,2], w_bot [N,P,2]).
+    """
+    wx = wx[..., 0]
+    wy = wy[..., 0]
+
+    def row_weights(y, wl, wr):
+        y_ok = (y >= 0) & (y < H)
+        l_ok = (y_ok & (x0 >= 0) & (x0 < W)).astype(wl.dtype)
+        r_ok = (y_ok & (x0 + 1 >= 0) & (x0 + 1 < W)).astype(wl.dtype)
+        wl = wl * l_ok
+        wr = wr * r_ok
+        # Clipped windows: x0==W-1 -> left value sits in slot 1;
+        # x0==-1 -> right value sits in slot 0.
+        left_hi = x0 >= W - 1
+        right_lo = x0 < 0
+        slot0 = jnp.where(left_hi, 0.0, jnp.where(right_lo, wr, wl))
+        slot1 = jnp.where(left_hi, wl, jnp.where(right_lo, 0.0, wr))
+        return jnp.stack([slot0, slot1], axis=-1)
+
+    w_top = row_weights(y0, (1 - wx) * (1 - wy), wx * (1 - wy))
+    w_bot = row_weights(y0 + 1, (1 - wx) * wy, wx * wy)
+    y_top = jnp.clip(y0, 0, H - 1)
+    y_bot = jnp.clip(y0 + 1, 0, H - 1)
+    x_c = jnp.clip(x0, 0, W - 2)
+    return y_top, y_bot, x_c, w_top, w_bot
+
+
+@jax.custom_vjp
+def _grid_sample_points_tpu(img, coords):
+    return _grid_sample_points_impl(img, coords)
+
+
+def _gsp_fwd(img, coords):
+    return _grid_sample_points_impl(img, coords), (img, coords)
+
+
+def _gsp_bwd(res, g):
+    """Backward: d_img via the Pallas splat kernel (XLA's scatter lowering
+    costs ~10 s/frame on TPU, tgi/ops/pallas/splat.py); d_coords from a
+    re-gather of the corner pairs (cheaper than saving them)."""
+    from tgi.ops.pallas.splat import POINT_BLOCK, plane_splat
+    img, coords = res
+    N, C, H, W = img.shape
+    P = coords.shape[1]
+    gc = coords.astype(jnp.float32)
+    ix = _unnormalize(gc[..., 0], W)
+    iy = _unnormalize(gc[..., 1], H)
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    wx = (ix - x0f)[..., None]
+    wy = (iy - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # d_coords from the corner values (same formula autodiff derives).
+    img_nhwc = jnp.transpose(img, (0, 2, 3, 1))
+    top_pair = _gather_row_pair(img_nhwc, y0, x0, H, W)
+    bot_pair = _gather_row_pair(img_nhwc, y0 + 1, x0, H, W)
+    v00, v01 = _pair_corners(top_pair, x0, y0, H, W, img.dtype)
+    v10, v11 = _pair_corners(bot_pair, x0, y0 + 1, H, W, img.dtype)
+    g32 = g.astype(jnp.float32)
+    dix = jnp.sum(((v01 - v00) * (1 - wy) + (v11 - v10) * wy) * g32, -1)
+    diy = jnp.sum(((v10 - v00) * (1 - wx) + (v11 - v01) * wx) * g32, -1)
+    d_coords = jnp.stack([dix * (W / 2.0), diy * (H / 2.0)],
+                         axis=-1).astype(coords.dtype)
+
+    # d_img via the splat kernel (pad P to the kernel block size).
+    y_top, y_bot, x_c, w_top, w_bot = _corner_weights(x0, y0, wx, wy, H, W)
+    pad = (-P) % POINT_BLOCK
+    if pad:
+        zi = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        zw = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        y_top, y_bot, x_c = zi(y_top), zi(y_bot), zi(x_c)
+        w_top, w_bot, g32 = zw(w_top), zw(w_bot), zw(g32)
+    d_img_nhwc = plane_splat(y_top, y_bot, x_c, w_top.astype(jnp.float32),
+                             w_bot.astype(jnp.float32), g32, H=H, W=W)
+    d_img = jnp.transpose(d_img_nhwc, (0, 3, 1, 2)).astype(img.dtype)
+    return d_img, d_coords
+
+
+_grid_sample_points_tpu.defvjp(_gsp_fwd, _gsp_bwd)
+
+
+def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """Point-list variant: img [N, C, H, W], coords [N, P, 2] -> [N, P, C].
+
+    The volumetric-render hot path (renderer.py:55-66 in the reference is
+    an F.grid_sample over ~400k points/frame). Two paired-slice gathers
+    (top row pair, bottom row pair) replace four per-corner gathers. On
+    TPU the backward runs the Pallas splat kernel via custom VJP; other
+    backends use plain XLA autodiff.
+    """
+    if jax.default_backend() == "tpu":
+        return _grid_sample_points_tpu(img, coords)
+    return _grid_sample_points_impl(img, coords)
 
 
 def project_onto_planes(coords: jax.Array) -> jax.Array:
