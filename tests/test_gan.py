@@ -1,0 +1,103 @@
+"""GAN training stack tests: dual discriminator, losses, one train step,
+augmentation — tiny config on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_generator import tiny_config, camera_batch
+from tgi.models import TriPlaneGenerator
+from tgi.nn.discriminator import (DiscriminatorConfig, discriminator_init,
+                                  dual_discriminator_apply,
+                                  discriminator_apply, minibatch_std)
+from tgi.train import GANTrainer, GANTrainConfig, init_train_state
+
+
+@pytest.fixture(scope="module")
+def d_setup():
+    cfg = DiscriminatorConfig(c_dim=25, img_resolution=64, img_channels=6,
+                              channel_base=512, channel_max=32,
+                              mbstd_group_size=2, mapping_layers=2)
+    params = discriminator_init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_discriminator_shapes(d_setup, rng):
+    cfg, params = d_setup
+    img = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
+    raw = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    c = camera_batch(2)
+    logits = dual_discriminator_apply(params, img, raw, c, cfg)
+    assert logits.shape == (2, 1)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_minibatch_std(rng):
+    x = jnp.asarray(rng.randn(4, 8, 5, 5).astype(np.float32))
+    y = minibatch_std(x, group_size=2, num_channels=1)
+    assert y.shape == (4, 9, 5, 5)
+    # identical samples in a group -> zero std channel
+    x2 = jnp.tile(x[:1], (4, 1, 1, 1))
+    y2 = minibatch_std(x2, group_size=4)
+    np.testing.assert_allclose(np.asarray(y2[:, -1]), 0.0, atol=1e-4)
+
+
+def test_gan_train_step_improves_losses(d_setup):
+    d_cfg, _ = d_setup
+    G = TriPlaneGenerator(tiny_config())
+    # ema_rampup=None so the EMA visibly lags at step 0 (with the default
+    # rampup the warmup beta is ~0 and EMA == params, as in the reference).
+    cfg = GANTrainConfig(batch_size=2, blur_init_sigma=0,
+                         density_reg_samples=32, ema_rampup=None)
+    trainer = GANTrainer(G, d_cfg, cfg)
+    state = init_train_state(jax.random.PRNGKey(0), G, d_cfg, trainer)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    c = camera_batch(2)
+    real = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 64, 64),
+                              minval=-1, maxval=1)
+    state2, m = trainer.train_step(state, z, c, real, jax.random.PRNGKey(3),
+                                   cur_nimg=0, do_greg=True, do_dreg=True)
+    assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
+    # Params moved, EMA tracks.
+    before = np.asarray(state["g_params"]["decoder"]["net0"]["weight"])
+    after = np.asarray(state2["g_params"]["decoder"]["net0"]["weight"])
+    assert not np.allclose(before, after)
+    ema = np.asarray(state2["g_ema"]["decoder"]["net0"]["weight"])
+    assert not np.allclose(ema, after)      # beta < 1 keeps it behind
+    assert np.abs(ema - before).max() < np.abs(after - before).max() + 1e-8
+
+
+def test_augment_pipe_identity_at_p0(rng):
+    from tgi.train.augment import AugmentPipe
+    pipe = AugmentPipe()
+    img = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    raw = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    out, out_raw = pipe(img, raw, jax.random.PRNGKey(0), p=0.0)
+    # p=0: geometric warp resamples the same grid -> identity (interior).
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_raw), np.asarray(raw),
+                               atol=1e-4)
+
+
+def test_augment_pipe_transforms_at_p1(rng):
+    from tgi.train.augment import AugmentPipe
+    pipe = AugmentPipe()
+    img = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    raw = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    out, _ = pipe(img, raw, jax.random.PRNGKey(1), p=1.0)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(img))
+
+
+def test_adaptive_augment_controller():
+    from tgi.train.augment import AdaptiveAugment
+    ada = AdaptiveAugment(target=0.6, batch_size=64, kimg=1)
+    for _ in range(100):
+        ada.update(1.0)      # overfit signal -> p rises
+    assert ada.p > 0.5
+    for _ in range(300):
+        ada.update(0.0)      # weak D -> p falls to 0
+    assert ada.p == 0.0

@@ -127,7 +127,7 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
                                         np.asarray(final_out["image"])]))
         from tgi.io import save_checkpoint
         save_checkpoint(os.path.join(out_dir, f"{name}_G.ckpt"), tuned,
-                        config=G.cfg.__dict__ and None)
+                        config=G.cfg)
 
         if gen_video:
             from tgi.apps.gen_videos import gen_interp_video

@@ -138,9 +138,9 @@ def _color_matrices(key, n, p, cfg: AugmentConfig):
     C = eye
     v_luma = jnp.asarray([1, 1, 1, 0], jnp.float32) / math.sqrt(3)
 
-    apply = _rand_apply(ks[0], p, cfg.brightness, (n, 1, 1))
-    b = jax.random.normal(ks[0], (n, 1, 1)) * cfg.brightness_std
-    T = eye.at[:, :3, 3].add(jnp.where(apply, b, 0.0))
+    apply = _rand_apply(ks[0], p, cfg.brightness, (n,))
+    b = jax.random.normal(ks[0], (n,)) * cfg.brightness_std
+    T = eye.at[:, :3, 3].add(jnp.where(apply, b, 0.0)[:, None])
     C = T @ C
 
     apply = _rand_apply(ks[1], p, cfg.contrast, (n,))
