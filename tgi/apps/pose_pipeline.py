@@ -118,8 +118,6 @@ def train_pose_estimator(pose_params, dataset, *, mode="quat", lr=1e-4,
     train_idx, val_idx = np.arange(n_val, n), np.arange(n_val)
     opt = optax.adam(lr)
     opt_state = opt.init(pose_params)
-    loss_grad = jax.jit(jax.value_and_grad(pose_loss, has_aux=True),
-                        static_argnames=("mode",))
 
     @jax.jit
     def update(params, opt_state, imgs, ext):

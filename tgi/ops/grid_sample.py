@@ -21,19 +21,6 @@ def _unnormalize(coord, size):
     return (coord + 1.0) * (size / 2.0) - 0.5
 
 
-def _gather_corner(img_flat, ix, iy, H, W):
-    """Gather [N, P, C] values at integer (ix, iy), zero outside bounds.
-
-    img_flat: [N, H*W, C]; ix, iy: [N, P] int32.
-    """
-    valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
-    idx = iyc * W + ixc
-    vals = jnp.take_along_axis(img_flat, idx[..., None], axis=1)
-    return vals * valid[..., None].astype(img_flat.dtype)
-
-
 def grid_sample_2d(img: jax.Array, grid: jax.Array) -> jax.Array:
     """Bilinear sample ``img`` at ``grid`` locations.
 
@@ -44,31 +31,13 @@ def grid_sample_2d(img: jax.Array, grid: jax.Array) -> jax.Array:
 
     Returns:
         ``[N, C, Hg, Wg]``, matching torch grid_sample(align_corners=False,
-        padding_mode='zeros', mode='bilinear').
+        padding_mode='zeros', mode='bilinear'). Routed through the
+        point-list implementation (paired-slice gathers; Pallas splat
+        backward on TPU).
     """
     N, C, H, W = img.shape
     _, Hg, Wg, _ = grid.shape
-    P = Hg * Wg
-    g = grid.reshape(N, P, 2).astype(jnp.float32)
-
-    ix = _unnormalize(g[..., 0], W)
-    iy = _unnormalize(g[..., 1], H)
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = (ix - x0).astype(img.dtype)[..., None]
-    wy = (iy - y0).astype(img.dtype)[..., None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-
-    img_flat = jnp.transpose(img.reshape(N, C, H * W), (0, 2, 1))  # [N, HW, C]
-    v00 = _gather_corner(img_flat, x0, y0, H, W)
-    v01 = _gather_corner(img_flat, x0 + 1, y0, H, W)
-    v10 = _gather_corner(img_flat, x0, y0 + 1, H, W)
-    v11 = _gather_corner(img_flat, x0 + 1, y0 + 1, H, W)
-
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
-    out = top + (bot - top) * wy                                   # [N, P, C]
+    out = grid_sample_points(img, grid.reshape(N, Hg * Wg, 2))  # [N, P, C]
     return jnp.transpose(out, (0, 2, 1)).reshape(N, C, Hg, Wg)
 
 
@@ -227,7 +196,10 @@ def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
     TPU the backward runs the Pallas splat kernel via custom VJP; other
     backends use plain XLA autodiff.
     """
-    if jax.default_backend() == "tpu":
+    C = img.shape[1]
+    if jax.default_backend() == "tpu" and 128 % C == 0 and C <= 64:
+        # The splat kernel packs 2C lanes into 128-lane tiles; other
+        # channel counts (e.g. rgb C=3, VGG C=256) take XLA autodiff.
         return _grid_sample_points_tpu(img, coords)
     return _grid_sample_points_impl(img, coords)
 
