@@ -65,7 +65,19 @@ def _avg_pool2(x):
 
 
 def ms_ssim(a, b, data_range=1.0, weights=MSSSIM_WEIGHTS):
-    """Multi-scale SSIM for [N, C, H, W]; needs H, W >= 176."""
+    """Multi-scale SSIM for [N, C, H, W].
+
+    The canonical 5 scales need H, W >= 176 (11-tap window at scale 16);
+    smaller inputs automatically drop the coarsest scales (renormalized
+    weights) instead of producing NaN.
+    """
+    max_levels = 1
+    side = min(a.shape[2], a.shape[3])
+    while max_levels < len(weights) and side // (2 ** max_levels) >= 11:
+        max_levels += 1
+    if max_levels < len(weights):
+        w = np.asarray(weights[:max_levels])
+        weights = tuple(w / w.sum())
     levels = len(weights)
     vals = []
     for i in range(levels):
