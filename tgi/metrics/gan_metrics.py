@@ -170,3 +170,76 @@ def ppl2_wend(G=None, params=None, lpips_loss=None, camera_sampler=None,
               num_samples=1000, **_):
     return {"ppl": ppl_wend(G, params, lpips_loss, camera_sampler,
                             num_samples=num_samples)}
+
+
+def inception_score(probs, num_splits=10):
+    """IS from [N, 1000] class probabilities (inception_score.py)."""
+    n = probs.shape[0]
+    scores = []
+    for i in range(num_splits):
+        part = probs[i * n // num_splits:(i + 1) * n // num_splits]
+        kl = part * (np.log(part + 1e-10)
+                     - np.log(part.mean(axis=0, keepdims=True) + 1e-10))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+@register_metric
+def is50k(gen_probs=None, num_splits=10, **_):
+    """Inception Score over generated-sample class probabilities
+    (capture them with tgi.metrics.inception.inception_logits +
+    jax.nn.softmax)."""
+    mean, std = inception_score(np.asarray(gen_probs), num_splits)
+    return {"is_mean": mean, "is_std": std}
+
+
+def _psnr(a, b):
+    mse = np.mean(np.square(np.asarray(a) - np.asarray(b)))
+    return float(10 * np.log10(4.0 / max(mse, 1e-12)))  # range [-1,1]
+
+
+def equivariance_metrics(G3, params, *, num_samples=64, batch=8, key=None,
+                         translate_frac=0.125):
+    """EQ-T / EQ-R for the alias-free (SG3) generator
+    (metrics/equivariance.py): PSNR between transforming the INPUT
+    Fourier-feature frame and transforming the OUTPUT image.
+
+    G3: tgi.nn.synthesis3.SG3Generator. Returns {'eqt': db, 'eqr': db}.
+    """
+    import jax
+    import jax.numpy as jnp
+    import scipy.ndimage
+    key = key if key is not None else jax.random.PRNGKey(0)
+    res = G3.cfg.img_resolution
+    shift_px = translate_frac * res
+
+    def with_transform(params, m):
+        inp = dict(params["synthesis"]["input"], transform=jnp.asarray(m))
+        return {**params, "synthesis": {**params["synthesis"],
+                                        "input": inp}}
+
+    eqt, eqr = [], []
+    for i in range(num_samples // batch):
+        z = jax.random.normal(jax.random.fold_in(key, i),
+                              (batch, G3.cfg.z_dim))
+        ref = np.asarray(G3(params, z, None))
+        # EQ-T: translate input frame by t, compare to pixel-shifted output.
+        t = shift_px / res * 2
+        m = np.eye(3); m[0, 2] = -t; m[1, 2] = 0
+        out = np.asarray(G3(with_transform(params, m), z, None))
+        shifted = np.roll(ref, int(round(shift_px)), axis=3)
+        eqt.append(_psnr(out[..., :, int(shift_px):],
+                         shifted[..., :, int(shift_px):]))
+        # EQ-R: rotate input frame by theta, compare to rotated output.
+        theta = 15 * np.pi / 180
+        mr = np.eye(3)
+        mr[0, 0] = mr[1, 1] = np.cos(theta)
+        mr[0, 1] = -np.sin(theta)
+        mr[1, 0] = np.sin(theta)
+        out_r = np.asarray(G3(with_transform(params, mr), z, None))
+        rot = scipy.ndimage.rotate(ref, -np.degrees(theta), axes=(3, 2),
+                                   reshape=False, order=1)
+        m0 = res // 4
+        eqr.append(_psnr(out_r[..., m0:-m0, m0:-m0],
+                         rot[..., m0:-m0, m0:-m0]))
+    return {"eqt": float(np.mean(eqt)), "eqr": float(np.mean(eqr))}

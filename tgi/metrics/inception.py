@@ -223,12 +223,21 @@ def inception_feature_fn(params, resize=True):
     return fn
 
 
+def inception_logits(params, x):
+    """[N, 3, 299, 299] -> [N, 1000] class logits (needs the 'fc' entry
+    from convert_torch_inception; used by the Inception Score)."""
+    feats = inception_v3_features(params, x)
+    fc = params["fc"]
+    return feats @ fc["weight"].T + fc["bias"]
+
+
 def convert_torch_inception(sd: dict) -> dict:
-    """torchvision inception_v3 state_dict -> params tree."""
+    """torchvision inception_v3 state_dict -> params tree (fc kept for
+    the Inception Score; aux head dropped)."""
     import numpy as np
     out: dict = {}
     for name, v in sd.items():
-        if "num_batches_tracked" in name or name.startswith(("fc.", "AuxLogits")):
+        if "num_batches_tracked" in name or name.startswith("AuxLogits"):
             continue
         parts = name.split(".")
         node = out
