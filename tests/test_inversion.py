@@ -91,6 +91,33 @@ def test_projection_loss_decreases(setup):
     assert dist[-1] < dist[2] * 1.001, dist  # joint phase reduces distance
 
 
+def test_batched_projection(setup):
+    """vmapped multi-image inversion: per-image state, shared generator."""
+    cfg = ProjectorConfig(num_steps=4, cam_preheat_steps=2, w_avg_samples=16,
+                          camera_mode="quat")
+    proj = Projector(setup["G"], setup["gen"], setup["vgg"], setup["head"],
+                     setup["pose"], cfg)
+    targets = jnp.concatenate([setup["target"],
+                               jnp.flip(setup["target"], -1)])  # B=2
+    ws, cams, states, metrics = proj.project_batch(jax.random.PRNGKey(7),
+                                                   targets)
+    assert ws.shape == (2, 1, setup["G"].cfg.num_ws, 32)
+    assert cams.shape == (2, 1, 25)
+    for b in range(2):
+        ext = np.asarray(cams)[b, 0, :16].reshape(4, 4)
+        np.testing.assert_allclose(np.linalg.norm(ext[:3, 3]), 2.7,
+                                   rtol=1e-4)
+    # Per-image states diverged (different targets -> different grads).
+    # cam_lr for quat mode is 6e-7, so pose weights move below allclose
+    # tolerance in 4 steps — bitwise inequality is the right check.
+    p0 = np.asarray(states["pose"]["fc3"]["weight"])[0]
+    p1 = np.asarray(states["pose"]["fc3"]["weight"])[1]
+    assert not np.array_equal(p0, p1)
+    w0 = np.asarray(states["w"])[0]
+    w1 = np.asarray(states["w"])[1]
+    assert not np.array_equal(w0, w1)
+
+
 def test_pti_smoke(setup):
     G = setup["G"]
     lp = LPIPSLoss(setup["vgg"], setup["head"])

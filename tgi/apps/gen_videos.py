@@ -103,3 +103,46 @@ def gen_interp_video(G, params, ws, out_path, **kw):
     """End-to-end equivalent of gen_videos.gen_interp_video."""
     frames = render_orbit(G, params, ws, **kw)
     return write_video(out_path, frames)
+
+
+def main():
+    """CLI equivalent of the reference gen_videos.py click command
+    (gen_videos.py:221-238): seeds or saved w pivots -> orbit video."""
+    import click
+
+    @click.command()
+    @click.option("--network", required=True)
+    @click.option("--seeds", default=None, help="e.g. 0,1,5-10")
+    @click.option("--ws", "ws_path", default=None, help="saved _ws.npy")
+    @click.option("--output", required=True)
+    @click.option("--frames", default=240)
+    @click.option("--sample-mult", default=2)
+    @click.option("--trunc", default=0.7)
+    def cli(network, seeds, ws_path, output, frames, sample_mult, trunc):
+        import jax
+        from tgi.apps.run_pti import load_any_generator, parse_range
+        from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                        pack_camera)
+        G, params = load_any_generator(network)
+        if ws_path:
+            ws = jnp.asarray(np.load(ws_path))
+        else:
+            assert seeds is not None, "need --seeds or --ws"
+            cond = pack_camera(
+                look_at_pose(np.pi / 2, np.pi / 2,
+                             jnp.asarray([0., 0., 0.2]), 2.7)[None],
+                fov_to_intrinsics(18.837))
+            zs = jnp.stack([jax.random.normal(jax.random.PRNGKey(s),
+                                              (G.cfg.z_dim,))
+                            for s in parse_range(seeds)])
+            ws = G.mapping(params, zs, jnp.tile(cond, (zs.shape[0], 1)),
+                           truncation_psi=trunc, truncation_cutoff=14)
+        out = gen_interp_video(G, params, ws, output, num_frames=frames,
+                               sample_mult=sample_mult)
+        click.echo(f"wrote {out}")
+
+    cli()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             lpips_head, e4e_params=None, arcface_params=None,
             camera_mode="quat", first_inv_steps=400, max_pti_steps=400,
             gen_video=True, gen_mesh=False, do_evaluation=False,
-            save_pivot=True, seed=0):
+            save_pivot=True, use_last_w_pivots=False, seed=0):
     """Invert every image in ``image_dir``. Returns per-image results."""
     from tgi.invert import (CoachConfig, PTICoach, Projector,
                             ProjectorConfig)
@@ -107,10 +107,18 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
         target_255 = jnp.asarray(
             (load_image(path, size=256) + 1) * 127.5)
 
-        # Stage 1.
-        ws, cam, state, metrics = proj.project(k_proj, target_255)
-        np.save(os.path.join(out_dir, f"{name}_ws.npy"), np.asarray(ws))
-        np.save(os.path.join(out_dir, f"{name}_cam.npy"), np.asarray(cam))
+        # Stage 1 (or reload saved pivots — base_coach.py:69-77's
+        # use_last_w_pivots resume path).
+        ws_file = os.path.join(out_dir, f"{name}_ws.npy")
+        cam_file = os.path.join(out_dir, f"{name}_cam.npy")
+        if use_last_w_pivots and os.path.exists(ws_file) \
+                and os.path.exists(cam_file):
+            ws = jnp.asarray(np.load(ws_file))
+            cam = jnp.asarray(np.load(cam_file))
+        else:
+            ws, cam, state, metrics = proj.project(k_proj, target_255)
+            np.save(ws_file, np.asarray(ws))
+            np.save(cam_file, np.asarray(cam))
 
         pivot_out = G.synthesis(gen_params, ws, cam, det=True)
         if save_pivot:

@@ -373,3 +373,130 @@ class Projector:
         metrics = metrics_a if metrics_b is None else jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b]), metrics_a, metrics_b)
         return ws, pred_cam, train_state, metrics
+
+    # -- batched inversion ----------------------------------------------
+
+    def project_batch(self, key, targets_255, num_steps=None):
+        """Invert a BATCH of targets simultaneously (BASELINE.json config
+        5, 'throughput-oriented batch inversion').
+
+        The reference is strictly per-image — each image fine-tunes its
+        own pose CNN and noise buffers (w_projector.py:62, 120-131). The
+        same semantics are preserved by vmapping the ENTIRE per-image
+        optimization state (w, noise, translation, pose net, Adam moments)
+        over the batch; the frozen generator/VGG weights stay shared and
+        unmapped, so the convolutions batch across images on the MXU.
+
+        Args:
+            key: PRNG key.
+            targets_255: [B, 1, 3, 256, 256] or [B, 3, 256, 256].
+
+        Returns (ws [B, 1, num_ws, D], cams [B, 1, 25], states, metrics).
+        """
+        cfg = self.cfg
+        num_steps = num_steps or cfg.num_steps
+        if targets_255.ndim == 4:
+            targets_255 = targets_255[:, None]
+        B = targets_255.shape[0]
+        targets_255 = jnp.asarray(targets_255, jnp.float32)
+        k_init, k_loop = jax.random.split(key)
+
+        target_feats = jax.vmap(
+            lambda t: lpips_features(self.vgg_params, self.lpips_head, t)
+        )(targets_255)
+
+        init_keys = jax.random.split(k_init, B)
+        train_state, opt_states, w_std = jax.vmap(self.init_state)(
+            init_keys, targets_255)
+        w_std = w_std[0]     # identical across the batch (same generator)
+
+        preheat_steps = min(cfg.cam_preheat_steps, num_steps)
+        loop_keys = jax.random.split(k_loop, B)
+
+        def scan_phase(preheat, carry, steps):
+            step = self._make_step_batched(w_std, preheat)
+            def body(c, i):
+                (ts, os, keys) = c
+                (ts, os, keys), m = jax.vmap(
+                    step, in_axes=((0, 0, 0), None, 0, 0))(
+                        (ts, os, keys), i, targets_255, target_feats)
+                return (ts, os, keys), m
+            return jax.lax.scan(body, carry, steps)
+
+        carry = (train_state, opt_states, loop_keys)
+        carry, metrics_a = scan_phase(True, carry,
+                                      jnp.arange(preheat_steps))
+        if num_steps > preheat_steps:
+            carry, _ = scan_phase(False, carry,
+                                  jnp.arange(preheat_steps, num_steps))
+        train_state, opt_states, _ = carry
+
+        def finalize(ts, target):
+            pose_out = resnet34_apply(ts["pose"], target)
+            _, cam = assemble_camera(pose_out, ts["translation"],
+                                     cfg.camera_mode, cfg.radius,
+                                     self.intrinsic.reshape(9))
+            return jnp.tile(ts["w"], (1, self.G.cfg.num_ws, 1)), cam
+
+        ws, cams = jax.vmap(finalize)(train_state, targets_255)
+        return ws, cams, train_state, metrics_a
+
+    def _make_step_batched(self, w_std, preheat):
+        """Per-image step with (target, feats) as explicit args so it can
+        be vmapped over the batch."""
+        cfg = self.cfg
+        opts = self._optimizers()
+        grad_fn = jax.grad(self._loss, has_aux=True)
+
+        def step(carry, step_idx, target_255, target_feats):
+            train_state, opt_states, key = carry
+            key, k_loss, k_wnoise = jax.random.split(key, 3)
+
+            t = ((step_idx - cfg.cam_preheat_steps)
+                 / max(cfg.num_steps - cfg.cam_preheat_steps, 1))
+            w_noise_scale = (w_std * cfg.initial_noise_factor
+                             * jnp.maximum(0.0, 1.0 - t
+                                           / cfg.noise_ramp_length) ** 2)
+            lr_ramp = jnp.minimum(1.0, (1.0 - t) / cfg.lr_rampdown_length)
+            lr_ramp = 0.5 - 0.5 * jnp.cos(lr_ramp * jnp.pi)
+            lr_ramp = lr_ramp * jnp.minimum(1.0, t / cfg.lr_rampup_length)
+            lr = cfg.first_inv_lr * lr_ramp
+
+            w_noise = (jnp.zeros_like(train_state["w"]) if preheat else
+                       jax.random.normal(k_wnoise, train_state["w"].shape)
+                       * w_noise_scale)
+            grads, aux = grad_fn(train_state, target_255, target_feats,
+                                 w_noise, k_loss)
+
+            cam_updates, cam_state = opts["cam"].update(
+                grads["pose"], opt_states["cam"], train_state["pose"])
+            pose = optax.apply_updates(train_state["pose"], cam_updates)
+            tr_updates, tr_state = opts["trans"].update(
+                grads["translation"], opt_states["trans"],
+                train_state["translation"])
+            translation = optax.apply_updates(train_state["translation"],
+                                              tr_updates)
+            if preheat:
+                w, noise, w_state = (train_state["w"], train_state["noise"],
+                                     opt_states["w"])
+            else:
+                w_state_in = opt_states["w"]._replace(
+                    hyperparams={**opt_states["w"].hyperparams,
+                                 "learning_rate": lr})
+                w_updates, w_state = opts["w"].update(
+                    {"w": grads["w"], "noise": grads["noise"]}, w_state_in,
+                    {"w": train_state["w"], "noise": train_state["noise"]})
+                merged = optax.apply_updates(
+                    {"w": train_state["w"], "noise": train_state["noise"]},
+                    w_updates)
+                w, noise = merged["w"], merged["noise"]
+
+            noise = {k: normalize_noise(v) for k, v in noise.items()}
+            new_state = {"w": w, "noise": noise, "translation": translation,
+                         "pose": pose}
+            new_opts = {"w": w_state, "cam": cam_state, "trans": tr_state}
+            metrics = {"loss": aux["dist"] + aux["warp"],
+                       "dist": aux["dist"], "warp": aux["warp"]}
+            return (new_state, new_opts, key), metrics
+
+        return step

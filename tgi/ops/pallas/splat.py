@@ -81,8 +81,25 @@ def _kernel(y_start_ref, base_ref, off_ref, u_ref, out_hbm, *scratch):
         dma.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W"))
+@functools.lru_cache(maxsize=None)
+def _splat_for(H, W):
+    """Batching-safe wrapper: vmap (e.g. batched inversion) lowers to a
+    sequential map — the kernel's point stream is serialized anyway, so
+    a batched call costs the same as B separate ones, and the ANY-space
+    pallas output has no native batching rule."""
+    @jax.custom_batching.sequential_vmap
+    def fn(y_top, y_bot, x, w_top, w_bot, grads):
+        return _plane_splat_impl(y_top, y_bot, x, w_top, w_bot, grads,
+                                 H=H, W=W)
+    return fn
+
+
 def plane_splat(y_top, y_bot, x, w_top, w_bot, grads, *, H, W):
+    return _splat_for(H, W)(y_top, y_bot, x, w_top, w_bot, grads)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _plane_splat_impl(y_top, y_bot, x, w_top, w_bot, grads, *, H, W):
     """Accumulate weighted row-pair contributions into [G, H, W, C].
 
     Args:
