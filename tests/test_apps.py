@@ -83,7 +83,8 @@ def test_inception_shapes_and_converter():
           "Conv2d_1a_3x3.bn.num_batches_tracked": np.asarray(1),
           "fc.weight": np.ones((1000, 2048), np.float32)}
     c = convert_torch_inception(sd)
-    assert "fc" not in c
+    assert "fc" in c      # kept for the Inception Score
+    assert "num_batches_tracked" not in c["Conv2d_1a_3x3"]["bn"]
     assert c["Conv2d_1a_3x3"]["conv"]["weight"].shape == (32, 3, 3, 3)
 
 

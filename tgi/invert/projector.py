@@ -274,66 +274,15 @@ class Projector:
 
     # -- stepping -----------------------------------------------------------
 
-    def _make_step(self, target_255, target_lpips_feats, w_std, preheat: bool):
-        cfg = self.cfg
-        opts = self._optimizers()
-        grad_fn = jax.grad(self._loss, has_aux=True)
+    def _make_step(self, target_255, target_lpips_feats, w_std,
+                   preheat: bool):
+        """Single-image step: the batched step with its target bound."""
+        step = self._make_step_batched(w_std, preheat)
 
-        def step(carry, step_idx):
-            train_state, opt_states, key = carry
-            key, k_loss, k_wnoise = jax.random.split(key, 3)
+        def bound(carry, step_idx):
+            return step(carry, step_idx, target_255, target_lpips_feats)
 
-            t = ((step_idx - cfg.cam_preheat_steps)
-                 / max(cfg.num_steps - cfg.cam_preheat_steps, 1))
-            w_noise_scale = (w_std * cfg.initial_noise_factor
-                             * jnp.maximum(0.0, 1.0 - t / cfg.noise_ramp_length) ** 2)
-            lr_ramp = jnp.minimum(1.0, (1.0 - t) / cfg.lr_rampdown_length)
-            lr_ramp = 0.5 - 0.5 * jnp.cos(lr_ramp * jnp.pi)
-            lr_ramp = lr_ramp * jnp.minimum(1.0, t / cfg.lr_rampup_length)
-            lr = cfg.first_inv_lr * lr_ramp
-
-            w_noise = (jnp.zeros_like(train_state["w"]) if preheat else
-                       jax.random.normal(k_wnoise, train_state["w"].shape)
-                       * w_noise_scale)
-
-            grads, aux = grad_fn(train_state, target_255,
-                                 target_lpips_feats, w_noise, k_loss)
-
-            # Camera + translation always step (w_projector.py:248-261).
-            cam_updates, cam_state = opts["cam"].update(
-                grads["pose"], opt_states["cam"], train_state["pose"])
-            pose = optax.apply_updates(train_state["pose"], cam_updates)
-            tr_updates, tr_state = opts["trans"].update(
-                grads["translation"], opt_states["trans"],
-                train_state["translation"])
-            translation = optax.apply_updates(train_state["translation"],
-                                              tr_updates)
-
-            if preheat:
-                w = train_state["w"]
-                noise = train_state["noise"]
-                w_state = opt_states["w"]
-            else:
-                w_state_in = opt_states["w"]._replace(
-                    hyperparams={**opt_states["w"].hyperparams,
-                                 "learning_rate": lr})
-                w_updates, w_state = opts["w"].update(
-                    {"w": grads["w"], "noise": grads["noise"]}, w_state_in,
-                    {"w": train_state["w"], "noise": train_state["noise"]})
-                merged = optax.apply_updates(
-                    {"w": train_state["w"], "noise": train_state["noise"]},
-                    w_updates)
-                w, noise = merged["w"], merged["noise"]
-
-            noise = {k: normalize_noise(v) for k, v in noise.items()}
-            new_state = {"w": w, "noise": noise, "translation": translation,
-                         "pose": pose}
-            new_opts = {"w": w_state, "cam": cam_state, "trans": tr_state}
-            metrics = {"loss": aux["dist"] + aux["warp"],
-                       "dist": aux["dist"], "warp": aux["warp"]}
-            return (new_state, new_opts, key), metrics
-
-        return step
+        return bound
 
     def project(self, key, target_255, num_steps=None):
         """Run the full two-phase projection.
