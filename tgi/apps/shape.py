@@ -51,6 +51,22 @@ def sigma_grid(G, params, ws, resolution: int = 512, chunk: int = 1 << 20,
     return sigmas.reshape(resolution, resolution, resolution)
 
 
+def sigma_cross_section(G, params, ws, *, axis: str = "y", offset: float = 0.0,
+                        resolution: int = 256, shape_scale: float | None = None):
+    """sigma sampled on an axis-aligned plane for visualization
+    (training/crosssection_utils.py:13-24). Returns [R, R] numpy."""
+    rk = G.cfg.rendering_kwargs
+    side = rk["box_warp"] * (shape_scale or 1.0)
+    half = side / 2
+    lin = np.linspace(-half, half, resolution, dtype=np.float32)
+    u, v = np.meshgrid(lin, lin, indexing="ij")
+    o = np.full_like(u, offset)
+    planes_xyz = {"x": (o, u, v), "y": (u, o, v), "z": (u, v, o)}[axis]
+    pts = np.stack(planes_xyz, axis=-1).reshape(1, -1, 3)
+    out = G.sample_mixed(params, jnp.asarray(pts), ws)
+    return np.asarray(out["sigma"]).reshape(resolution, resolution)
+
+
 def extract_mesh(G, params, ws, resolution: int = 256, level: float = 10.0,
                  out_ply: str | None = None, out_mrc: str | None = None,
                  **kw):
