@@ -23,8 +23,12 @@ def save_checkpoint(path: str, params, config=None, metadata: dict | None = None
 
     Layout: msgpack bytes of {'params': ..., 'metadata': ...}; config is
     stored as JSON in a sidecar entry so it stays human-readable.
+    NamedTuple containers (optax optimizer states) are flattened through
+    flax's state-dict form; restore them with ``load_checkpoint(path,
+    template=...)``.
     """
-    payload = {"params": jax.device_get(params)}
+    params = serialization.to_state_dict(jax.device_get(params))
+    payload = {"params": params}
     if metadata:
         payload["metadata"] = metadata
     if config is not None:
@@ -38,11 +42,19 @@ def save_checkpoint(path: str, params, config=None, metadata: dict | None = None
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str):
-    """Returns {'params': ..., 'config': dict|None, 'metadata': dict|None}."""
+def load_checkpoint(path: str, template=None):
+    """Returns {'params': ..., 'config': dict|None, 'metadata': dict|None}.
+
+    Pass ``template`` (a structurally matching pytree, e.g. a fresh
+    init_train_state) to restore NamedTuple containers such as optimizer
+    states; plain dict trees need no template.
+    """
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     config = (json.loads(payload["config_json"])
               if "config_json" in payload else None)
-    return {"params": payload["params"], "config": config,
+    params = payload["params"]
+    if template is not None:
+        params = serialization.from_state_dict(template, params)
+    return {"params": params, "config": config,
             "metadata": payload.get("metadata")}

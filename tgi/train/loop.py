@@ -64,7 +64,7 @@ def training_loop(
     cur_nimg = 0
     if resume_ckpt:
         from tgi.io import load_checkpoint
-        data = load_checkpoint(resume_ckpt)
+        data = load_checkpoint(resume_ckpt, template=state)
         state = data["params"]
         cur_nimg = int((data["metadata"] or {}).get("cur_nimg", 0))
 
