@@ -131,7 +131,10 @@ class TriPlaneGenerator:
                 truncation_cutoff=None):
         """z [N, z_dim], c [N, 25] -> ws [N, num_ws, w_dim]
         (triplane.py:48-51)."""
+        from tgi.utils.shapes import assert_shape
         cfg = self.cfg
+        assert_shape(z, (None, cfg.z_dim), "z")
+        assert_shape(c, (None, cfg.c_dim), "c (camera conditioning)")
         if cfg.rendering_kwargs.get("c_gen_conditioning_zero", False):
             c = jnp.zeros_like(c)
         c = c * cfg.rendering_kwargs.get("c_scale", 0.0)
@@ -161,9 +164,12 @@ class TriPlaneGenerator:
         ``planes`` short-circuits the backbone (the reference's
         cache_backbone / use_cached_backbone contract).
         """
+        from tgi.utils.shapes import assert_shape
         cfg = self.cfg
         rk = cfg.rendering_kwargs
         res = neural_rendering_resolution or cfg.neural_rendering_resolution
+        assert_shape(ws, (None, cfg.num_ws, cfg.w_dim), "ws")
+        assert_shape(c, (None, 25), "c (flat cam2world + intrinsics)")
         N = c.shape[0]
         cam2world = c[:, :16].reshape(N, 4, 4)
         intrinsics = c[:, 16:25].reshape(N, 3, 3)
