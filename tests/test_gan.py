@@ -60,6 +60,9 @@ def test_gan_train_step_improves_losses(d_setup):
     state2, m = trainer.train_step(state, z, c, real, jax.random.PRNGKey(3),
                                    cur_nimg=0, do_greg=True, do_dreg=True)
     assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
+    # Loss/signs/real reported for the ADA controller; reg losses surfaced.
+    assert -1.0 <= float(m["signs_real"]) <= 1.0
+    assert np.isfinite(float(m["g_reg"])) and np.isfinite(float(m["d_reg"]))
     # Params moved, EMA tracks.
     before = np.asarray(state["g_params"]["decoder"]["net0"]["weight"])
     after = np.asarray(state2["g_params"]["decoder"]["net0"]["weight"])
@@ -90,6 +93,92 @@ def test_augment_pipe_transforms_at_p1(rng):
     assert out.shape == img.shape
     assert np.isfinite(np.asarray(out)).all()
     assert not np.allclose(np.asarray(out), np.asarray(img))
+
+
+def test_train_step_applies_augment(d_setup):
+    """ADA wiring end-to-end: an augment_fn marker must reach the D inputs
+    with the traced p, changing the losses vs the unaugmented trainer."""
+    d_cfg, _ = d_setup
+    from tgi.train.augment import AugmentPipe
+    G = TriPlaneGenerator(tiny_config())
+    cfg = GANTrainConfig(batch_size=2, blur_init_sigma=0,
+                         density_reg_samples=16)
+    plain = GANTrainer(G, d_cfg, cfg)
+
+    def probe_augment(img, img_raw, key, p):
+        # Deterministic p-dependent marker: proves the traced ada_p value
+        # reaches the D inputs, not just that some augment ran.
+        return img * (1 - 2 * p), img_raw * (1 - 2 * p)
+
+    aug = GANTrainer(G, d_cfg, cfg, augment_fn=probe_augment)
+    state = init_train_state(jax.random.PRNGKey(0), G, d_cfg, plain)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    c = camera_batch(2)
+    real = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 64, 64),
+                              minval=-1, maxval=1)
+    _, m0 = plain.train_step(state, z, c, real, jax.random.PRNGKey(3),
+                             cur_nimg=0, do_greg=False, do_dreg=False)
+    _, m1 = aug.train_step(state, z, c, real, jax.random.PRNGKey(3),
+                           cur_nimg=0, do_greg=False, do_dreg=False,
+                           ada_p=0.7)
+    # Same trace, different traced p -> different D inputs -> different loss.
+    _, m1b = aug.train_step(state, z, c, real, jax.random.PRNGKey(3),
+                            cur_nimg=0, do_greg=False, do_dreg=False,
+                            ada_p=0.2)
+    assert float(m0["d_loss"]) != pytest.approx(float(m1["d_loss"]))
+    assert float(m1b["d_loss"]) != pytest.approx(float(m1["d_loss"]))
+    # ada_p=0.0 makes the probe an identity -> matches the plain trainer.
+    _, m1c = aug.train_step(state, z, c, real, jax.random.PRNGKey(3),
+                            cur_nimg=0, do_greg=False, do_dreg=False,
+                            ada_p=0.0)
+    assert float(m1c["d_loss"]) == pytest.approx(float(m0["d_loss"]),
+                                                 rel=1e-4)
+
+    # The real AugmentPipe also composes with the step (identity at p=0).
+    pipe_trainer = GANTrainer(G, d_cfg, cfg, augment_fn=AugmentPipe())
+    _, m2 = pipe_trainer.train_step(state, z, c, real, jax.random.PRNGKey(3),
+                                    cur_nimg=0, do_greg=False,
+                                    do_dreg=False, ada_p=0.0)
+    assert float(m2["d_loss"]) == pytest.approx(float(m0["d_loss"]),
+                                                rel=1e-3)
+
+
+def test_style_mixing_mixes_ws(d_setup):
+    """loss.py:65-72: with prob 1 a batch-wide cutoff in [1, num_ws) mixes
+    a second mapping's ws past it; index 0 is never mixed, the last index
+    always is."""
+    d_cfg, _ = d_setup
+    G = TriPlaneGenerator(tiny_config())
+    base = GANTrainConfig(batch_size=2, blur_init_sigma=0)
+    mix = GANTrainConfig(batch_size=2, blur_init_sigma=0,
+                         style_mixing_prob=1.0)
+    t0 = GANTrainer(G, d_cfg, base)
+    t1 = GANTrainer(G, d_cfg, mix)
+    params = G.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    c = camera_batch(2)
+    key = jax.random.PRNGKey(7)
+    _, ws0 = t0._run_G(params, z, c, key, None, 16)
+    _, ws1 = t1._run_G(params, z, c, key, None, 16)
+    np.testing.assert_allclose(np.asarray(ws0[:, 0]), np.asarray(ws1[:, 0]),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(ws0[:, -1]), np.asarray(ws1[:, -1]))
+
+
+def test_filtered_resizing_modes(rng):
+    from tgi.nn.discriminator import filtered_resizing
+    img = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    outs = {}
+    for mode in ("antialiased", "classic", "none", 0.3):
+        out = filtered_resizing(img, 32, mode)
+        assert out.shape == (2, 3, 32, 32), mode
+        assert np.isfinite(np.asarray(out)).all(), mode
+        outs[str(mode)] = np.asarray(out)
+    # float mode = blend of the two interpolants
+    blend = 0.7 * outs["none"] + 0.3 * outs["antialiased"]
+    np.testing.assert_allclose(outs["0.3"], blend, atol=1e-5)
+    with pytest.raises(ValueError):
+        filtered_resizing(img, 32, "bogus")
 
 
 def test_adaptive_augment_controller():

@@ -373,11 +373,15 @@ class Projector:
             return jax.lax.scan(body, carry, steps)
 
         carry = (train_state, opt_states, loop_keys)
-        carry, metrics_a = scan_phase(True, carry,
-                                      jnp.arange(preheat_steps))
+        carry, metrics = scan_phase(True, carry,
+                                    jnp.arange(preheat_steps))
         if num_steps > preheat_steps:
-            carry, _ = scan_phase(False, carry,
-                                  jnp.arange(preheat_steps, num_steps))
+            carry, metrics_b = scan_phase(False, carry,
+                                          jnp.arange(preheat_steps,
+                                                     num_steps))
+            metrics = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0),
+                metrics, metrics_b)
         train_state, opt_states, _ = carry
 
         def finalize(ts, target):
@@ -388,7 +392,7 @@ class Projector:
             return jnp.tile(ts["w"], (1, self.G.cfg.num_ws, 1)), cam
 
         ws, cams = jax.vmap(finalize)(train_state, targets_255)
-        return ws, cams, train_state, metrics_a
+        return ws, cams, train_state, metrics
 
     def _make_step_batched(self, w_std, preheat):
         """Per-image step with (target, feats) as explicit args so it can

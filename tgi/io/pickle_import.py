@@ -90,20 +90,50 @@ def _make_stub(module, name):
     return type(name, (StubModule,), {"_source": f"{module}.{name}"})
 
 
+# Exact (module, name) pairs required to deserialize tensors/arrays. A
+# broader prefix allowlist (e.g. all of 'builtins' or 'torch*') would let
+# a crafted pickle reach exec/eval or the untrusted torch_utils package
+# via REDUCE — everything outside this set becomes an inert stub.
+_SAFE_CLASSES = {
+    ("collections", "OrderedDict"),
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_parameter"),
+    ("torch.storage", "_load_from_bytes"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("_codecs", "encode"),
+}
+_SAFE_TORCH_NAMES = {
+    "Size", "device",
+    "FloatStorage", "HalfStorage", "BFloat16Storage", "DoubleStorage",
+    "IntStorage", "LongStorage", "ShortStorage", "CharStorage",
+    "ByteStorage", "BoolStorage",
+    "float32", "float16", "bfloat16", "float64", "int32", "int64",
+    "int16", "int8", "uint8", "bool",
+}
+
+
 class ReferenceUnpickler(pickle.Unpickler):
     """Unpickler that captures persistent modules instead of executing
-    their embedded source."""
+    their embedded source, and never resolves classes outside the exact
+    tensor-deserialization allowlist above."""
 
     def find_class(self, module, name):
         if name == "_reconstruct_persistent_obj":
             return _reconstruct_captured
         if (module, name) == ("dnnlib", "EasyDict") or name == "EasyDict":
             return _EasyDict
-        if module.startswith(("torch", "numpy", "collections", "builtins",
-                              "_codecs")):
+        if (module, name) in _SAFE_CLASSES or \
+                (module == "torch" and name in _SAFE_TORCH_NAMES):
             return super().find_class(module, name)
-        # Anything else from the reference package: a permissive stub that
-        # preserves state without importing reference code.
+        # Anything else (reference package code, builtins, torch_utils…):
+        # a permissive stub that preserves state without importing or
+        # executing anything.
         return _make_stub(module, name)
 
 

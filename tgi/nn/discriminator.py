@@ -19,7 +19,7 @@ from tgi.nn.layers import conv2d_layer_apply, conv2d_layer_init, \
     fully_connected_apply, fully_connected_init
 from tgi.nn.mapping import mapping_network_apply, mapping_network_init
 from tgi.nn.synthesis import RESAMPLE_FILTER
-from tgi.ops.upfirdn2d import upsample2d
+from tgi.ops.upfirdn2d import downsample2d, upsample2d
 
 
 @dataclass(frozen=True)
@@ -146,22 +146,34 @@ def discriminator_apply(params, img, c, cfg: DiscriminatorConfig, *,
 
 def filtered_resizing(img, size, filter_mode="antialiased"):
     """dual_discriminator.py:86-103: resize the raw render to the final
-    resolution before channel-concat."""
+    resolution before channel-concat. Four modes: 'antialiased' (default),
+    'classic' (FIR up ×2 → bilinear → FIR down ×2), 'none' (plain
+    bilinear), or a float in (0,1) blending aliased/antialiased."""
     n, c, h, w = img.shape
     if filter_mode == "antialiased":
         return jax.image.resize(img, (n, c, size, size), method="linear",
                                 antialias=True)
-    if h < size:
+    if filter_mode == "classic":
         f = RESAMPLE_FILTER
-        while img.shape[-1] < size:
-            img = upsample2d(img, f)
-        return img
-    return jax.image.resize(img, (n, c, size, size), method="linear")
+        x = upsample2d(img, f, up=2)
+        x = jax.image.resize(x, (n, c, size * 2 + 2, size * 2 + 2),
+                             method="linear")
+        return downsample2d(x, f, down=2, flip_filter=True, padding=-1)
+    if filter_mode == "none":
+        return jax.image.resize(img, (n, c, size, size), method="linear")
+    if isinstance(filter_mode, float):
+        assert 0 < filter_mode < 1
+        filtered = jax.image.resize(img, (n, c, size, size), method="linear",
+                                    antialias=True)
+        aliased = jax.image.resize(img, (n, c, size, size), method="linear")
+        return (1 - filter_mode) * aliased + filter_mode * filtered
+    raise ValueError(f"unknown filter_mode: {filter_mode!r}")
 
 
 def dual_discriminator_apply(params, img, img_raw, c,
-                             cfg: DiscriminatorConfig, **kw):
+                             cfg: DiscriminatorConfig,
+                             filter_mode="antialiased", **kw):
     """DualDiscriminator.forward (dual_discriminator.py:156-173)."""
-    raw_up = filtered_resizing(img_raw, img.shape[-1])
+    raw_up = filtered_resizing(img_raw, img.shape[-1], filter_mode)
     x = jnp.concatenate([img, raw_up], axis=1)
     return discriminator_apply(params, x, c, cfg, **kw)

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tgi.ops import grid_sample_2d
 
@@ -61,8 +62,12 @@ def _rand_apply(key, p, prob, shape=()):
 
 
 def _geom_matrices(key, n, p, cfg: AugmentConfig):
-    """Per-sample inverse 3x3 homographies in normalized [-1,1] coords."""
-    ks = jax.random.split(key, 8)
+    """Per-sample inverse 3x3 homographies in normalized [-1,1] coords.
+
+    Every apply-gate and every value draw uses an independent subkey —
+    correlating them would bias the augmentation distribution (the
+    reference draws each from a fresh torch.rand, augment.py:177-260)."""
+    ks = jax.random.split(key, 13)
     eye = jnp.tile(jnp.eye(3)[None], (n, 1, 1))
     G = eye
 
@@ -79,32 +84,32 @@ def _geom_matrices(key, n, p, cfg: AugmentConfig):
 
     # integer translate (fraction of image size)
     apply = _rand_apply(ks[3], p, cfg.xint, (n, 1))
-    t = jax.random.uniform(ks[3], (n, 2), minval=-cfg.xint_max,
+    t = jax.random.uniform(ks[4], (n, 2), minval=-cfg.xint_max,
                            maxval=cfg.xint_max) * 2
     t = jnp.where(apply, jnp.round(t * 0.5) * 2, 0.0)
     G = _translate2d(t) @ G
 
     # isotropic scale (log-normal)
-    apply = _rand_apply(ks[4], p, cfg.scale, (n, 1))
-    s = jnp.exp2(jax.random.normal(ks[4], (n, 1)) * cfg.scale_std)
+    apply = _rand_apply(ks[5], p, cfg.scale, (n, 1))
+    s = jnp.exp2(jax.random.normal(ks[6], (n, 1)) * cfg.scale_std)
     s = jnp.where(apply, s, 1.0)
     G = _scale2d(s, s) @ G
 
     # rotation
-    apply = _rand_apply(ks[5], p, cfg.rotate, (n,))
+    apply = _rand_apply(ks[7], p, cfg.rotate, (n,))
     theta = jnp.where(apply, jax.random.uniform(
-        ks[5], (n,), minval=-math.pi, maxval=math.pi) * cfg.rotate_max, 0.0)
+        ks[8], (n,), minval=-math.pi, maxval=math.pi) * cfg.rotate_max, 0.0)
     G = _rot2d(theta) @ G
 
     # anisotropic scale
-    apply = _rand_apply(ks[6], p, cfg.aniso, (n, 1))
-    a = jnp.exp2(jax.random.normal(ks[6], (n, 1)) * cfg.aniso_std)
+    apply = _rand_apply(ks[9], p, cfg.aniso, (n, 1))
+    a = jnp.exp2(jax.random.normal(ks[10], (n, 1)) * cfg.aniso_std)
     a = jnp.where(apply, a, 1.0)
     G = _scale2d(a, 1 / a) @ G
 
     # fractional translate
-    apply = _rand_apply(ks[7], p, cfg.xfrac, (n, 1))
-    t = jax.random.normal(ks[7], (n, 2)) * cfg.xfrac_std * 2
+    apply = _rand_apply(ks[11], p, cfg.xfrac, (n, 1))
+    t = jax.random.normal(ks[12], (n, 2)) * cfg.xfrac_std * 2
     t = jnp.where(apply, t, 0.0)
     G = _translate2d(t) @ G
     return G
@@ -132,37 +137,38 @@ def _translate2d(t):
 
 
 def _color_matrices(key, n, p, cfg: AugmentConfig):
-    """Per-sample 4x4 homogeneous color transforms (augment.py color tier)."""
-    ks = jax.random.split(key, 5)
+    """Per-sample 4x4 homogeneous color transforms (augment.py color tier).
+    Gates and value draws use independent subkeys (see _geom_matrices)."""
+    ks = jax.random.split(key, 9)
     eye = jnp.tile(jnp.eye(4)[None], (n, 1, 1))
     C = eye
     v_luma = jnp.asarray([1, 1, 1, 0], jnp.float32) / math.sqrt(3)
 
     apply = _rand_apply(ks[0], p, cfg.brightness, (n,))
-    b = jax.random.normal(ks[0], (n,)) * cfg.brightness_std
+    b = jax.random.normal(ks[1], (n,)) * cfg.brightness_std
     T = eye.at[:, :3, 3].add(jnp.where(apply, b, 0.0)[:, None])
     C = T @ C
 
-    apply = _rand_apply(ks[1], p, cfg.contrast, (n,))
-    c = jnp.exp2(jax.random.normal(ks[1], (n,)) * cfg.contrast_std)
+    apply = _rand_apply(ks[2], p, cfg.contrast, (n,))
+    c = jnp.exp2(jax.random.normal(ks[3], (n,)) * cfg.contrast_std)
     c = jnp.where(apply, c, 1.0)
     T = eye.at[:, 0, 0].set(c).at[:, 1, 1].set(c).at[:, 2, 2].set(c)
     C = T @ C
 
     # luma flip: householder about the luma axis with prob p
-    apply = _rand_apply(ks[2], p, cfg.lumaflip, (n, 1, 1))
+    apply = _rand_apply(ks[4], p, cfg.lumaflip, (n, 1, 1))
     H = eye - 2 * jnp.outer(v_luma, v_luma)[None]
     C = jnp.where(apply, H @ C, C)
 
     # hue rotation about the luma axis
-    apply = _rand_apply(ks[3], p, cfg.hue, (n,))
+    apply = _rand_apply(ks[5], p, cfg.hue, (n,))
     theta = jnp.where(apply, jax.random.uniform(
-        ks[3], (n,), minval=-math.pi, maxval=math.pi) * cfg.hue_max, 0.0)
+        ks[6], (n,), minval=-math.pi, maxval=math.pi) * cfg.hue_max, 0.0)
     C = _rot3d_about(v_luma[:3], theta) @ C
 
     # saturation
-    apply = _rand_apply(ks[4], p, cfg.saturation, (n, 1, 1))
-    s = jnp.exp2(jax.random.normal(ks[4], (n, 1, 1)) * cfg.saturation_std)
+    apply = _rand_apply(ks[7], p, cfg.saturation, (n, 1, 1))
+    s = jnp.exp2(jax.random.normal(ks[8], (n, 1, 1)) * cfg.saturation_std)
     s = jnp.where(apply, s, 1.0)
     outer = jnp.outer(v_luma, v_luma)[None]
     T = outer + (eye - outer) * s
@@ -208,11 +214,12 @@ class AugmentPipe:
         img_raw = self._color(img_raw, C)
 
         if cfg.noise > 0:
-            sigma = jnp.abs(jax.random.normal(k_noise, (n, 1, 1, 1))) \
+            k_sig, k_gate, k_field = jax.random.split(k_noise, 3)
+            sigma = jnp.abs(jax.random.normal(k_sig, (n, 1, 1, 1))) \
                 * cfg.noise_std
-            apply = _rand_apply(k_noise, p, cfg.noise, (n, 1, 1, 1))
+            apply = _rand_apply(k_gate, p, cfg.noise, (n, 1, 1, 1))
             img = img + jnp.where(apply, sigma, 0.0) * \
-                jax.random.normal(k_noise, img.shape)
+                jax.random.normal(k_field, img.shape)
         if cfg.cutout > 0:
             img = self._cutout(img, k_cut, p)
         return img, img_raw
@@ -259,7 +266,8 @@ class AdaptiveAugment:
         self.p = 0.0
 
     def update(self, real_logits_sign_mean: float):
-        direction = jnp.sign(real_logits_sign_mean - self.target)
-        self.p = float(jnp.clip(self.p + float(direction) * self.adjust,
-                                0.0, 1.0))
+        # training_loop.py:325-328: p += sign(E[sign(D_real)] - target)
+        # * batch*interval/(kimg*1000), floored at 0 (no upper clamp).
+        direction = float(np.sign(real_logits_sign_mean - self.target))
+        self.p = max(self.p + direction * self.adjust, 0.0)
         return self.p

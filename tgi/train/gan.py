@@ -61,12 +61,16 @@ class GANTrainConfig:
         return lr * mb_ratio, 0.0 ** mb_ratio, self.beta2 ** mb_ratio
 
 
-def _blur(img, blur_sigma):
-    size = int(np.floor(blur_sigma * 3))
-    if size <= 0:
+def _blur(img, blur_sigma, blur_size: int):
+    """Gaussian blur with traced sigma and static tap count
+    (loss.py:74-77). ``blur_size`` is host-computed as floor(sigma*3) so
+    the filter length stays static while the sigma value is traced —
+    recompiles track the ~30 distinct sizes of the fade, not every step."""
+    if blur_size <= 0:
         return img
-    f = np.exp2(-((np.arange(-size, size + 1) / blur_sigma) ** 2))
-    return filter2d(img, (f / f.sum()).astype(np.float32))
+    x = jnp.arange(-blur_size, blur_size + 1, dtype=jnp.float32)
+    f = jnp.exp2(-jnp.square(x / jnp.maximum(blur_sigma, 1e-8)))
+    return filter2d(img, f / f.sum())
 
 
 class GANTrainer:
@@ -83,7 +87,7 @@ class GANTrainer:
         self.g_opt = optax.adam(glr, b1=gb1, b2=gb2, eps=1e-8)
         self.d_opt = optax.adam(dlr, b1=db1, b2=db2, eps=1e-8)
 
-    # -- schedules ----------------------------------------------------------
+    # -- schedules (host side; only neural_res/blur_size affect shapes) -----
 
     def _schedules(self, cur_nimg):
         cfg = self.cfg
@@ -101,12 +105,16 @@ class GANTrainer:
                               + cfg.neural_rendering_resolution_final * a))
         else:
             res = cfg.neural_rendering_resolution_initial
-        return blur_sigma, swapping_prob, res
+        ema_nimg = cfg.ema_kimg * 1000
+        if cfg.ema_rampup is not None:
+            ema_nimg = min(ema_nimg, max(cur_nimg, 1) * cfg.ema_rampup)
+        ema_beta = 0.5 ** (cfg.batch_size / max(ema_nimg, 1e-8))
+        return blur_sigma, swapping_prob, res, ema_beta
 
     # -- G side -------------------------------------------------------------
 
     def _run_G(self, g_params, z, c, key, swapping_prob, neural_res):
-        k_swap, k_noise, k_render = jax.random.split(key, 3)
+        k_swap, k_render, k_mix, k_z2, k_cut = jax.random.split(key, 5)
         if swapping_prob is not None:
             c_swapped = jnp.roll(c, 1, axis=0)
             swap = jax.random.uniform(k_swap, (c.shape[0], 1)) < swapping_prob
@@ -114,23 +122,36 @@ class GANTrainer:
         else:
             c_gen = jnp.zeros_like(c)
         ws = self.G.mapping(g_params, z, c_gen)
+        if self.cfg.style_mixing_prob > 0:
+            # loss.py:65-72: one batch-wide cutoff, mixed ws past it.
+            num_ws = ws.shape[1]
+            ws2 = self.G.mapping(g_params,
+                                 jax.random.normal(k_z2, z.shape), c)
+            cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+            cutoff = jnp.where(
+                jax.random.uniform(k_mix) < self.cfg.style_mixing_prob,
+                cutoff, num_ws)
+            mixed = jnp.arange(num_ws)[None, :, None] >= cutoff
+            ws = jnp.where(mixed, ws2, ws)
         out = self.G.synthesis(g_params, ws, c,
                                neural_rendering_resolution=neural_res,
                                noise_mode="random", det=False, key=k_render)
         return out, ws
 
-    def _run_D(self, d_params, img, img_raw, c, key, blur_sigma):
-        img = _blur(img, blur_sigma)
+    def _run_D(self, d_params, img, img_raw, c, key, blur_sigma, blur_size,
+               ada_p):
+        img = _blur(img, blur_sigma, blur_size)
         if self.augment_fn is not None:
-            img, img_raw = self.augment_fn(img, img_raw, key)
-        return dual_discriminator_apply(d_params, img, img_raw, c, self.d_cfg)
+            img, img_raw = self.augment_fn(img, img_raw, key, ada_p)
+        return dual_discriminator_apply(d_params, img, img_raw, c, self.d_cfg,
+                                        filter_mode=self.cfg.filter_mode)
 
     def gmain_loss(self, g_params, d_params, z, c, key, blur_sigma,
-                   swapping_prob, neural_res):
+                   blur_size, swapping_prob, neural_res, ada_p):
         k_g, k_d = jax.random.split(key)
         out, _ = self._run_G(g_params, z, c, k_g, swapping_prob, neural_res)
         logits = self._run_D(d_params, out["image"], out["image_raw"], c,
-                             k_d, blur_sigma)
+                             k_d, blur_sigma, blur_size, ada_p)
         return jax.nn.softplus(-logits).mean()
 
     def greg_loss(self, g_params, z, c, key, swapping_prob):
@@ -173,22 +194,27 @@ class GANTrainer:
     # -- D side -------------------------------------------------------------
 
     def dmain_loss(self, d_params, g_params, z, c, real_img, real_raw, key,
-                   blur_sigma, swapping_prob, neural_res):
+                   blur_sigma, blur_size, swapping_prob, neural_res, ada_p):
         k_g, k_d1, k_d2 = jax.random.split(key, 3)
         out, _ = self._run_G(g_params, z, c, k_g, swapping_prob, neural_res)
         gen_logits = self._run_D(
             d_params, jax.lax.stop_gradient(out["image"]),
-            jax.lax.stop_gradient(out["image_raw"]), c, k_d1, blur_sigma)
+            jax.lax.stop_gradient(out["image_raw"]), c, k_d1, blur_sigma,
+            blur_size, ada_p)
         real_logits = self._run_D(d_params, real_img, real_raw, c, k_d2,
-                                  blur_sigma)
-        return (jax.nn.softplus(gen_logits).mean()
+                                  blur_sigma, blur_size, ada_p)
+        loss = (jax.nn.softplus(gen_logits).mean()
                 + jax.nn.softplus(-real_logits).mean())
+        # Loss/signs/real (loss.py:75) — the ADA controller's input.
+        return loss, jnp.sign(real_logits).mean()
 
-    def dreg_loss(self, d_params, real_img, real_raw, c, key, blur_sigma):
+    def dreg_loss(self, d_params, real_img, real_raw, c, key, blur_sigma,
+                  blur_size, ada_p):
         """R1 penalty on image + raw (loss.py:268-283); jax.grad replaces
         the create_graph double-backward machinery."""
         def logits_sum(img, raw):
-            return self._run_D(d_params, img, raw, c, key, blur_sigma).sum()
+            return self._run_D(d_params, img, raw, c, key, blur_sigma,
+                               blur_size, ada_p).sum()
 
         g_img, g_raw = jax.grad(logits_sum, argnums=(0, 1))(real_img,
                                                             real_raw)
@@ -198,60 +224,78 @@ class GANTrainer:
 
     # -- the step -----------------------------------------------------------
 
-    @partial(jax.jit, static_argnames=("self", "do_greg", "do_dreg",
-                                       "cur_nimg"))
     def train_step(self, state, z, c, real_img, key, cur_nimg: int,
-                   do_greg: bool, do_dreg: bool):
-        """One full G+D update. ``cur_nimg`` is static because it selects
-        schedule constants (the reference recomputes them per step on host,
-        training_loop.py:280-300); pass a coarse-grained value (e.g.
-        rounded to the nearest 4k) to bound recompiles.
-        """
+                   do_greg: bool, do_dreg: bool, ada_p: float = 0.0):
+        """One full G+D update. Schedule values (blur sigma, swap prob,
+        EMA beta, ADA p) are traced scalars so the step compiles once per
+        (neural_res, blur_size) — the reference recomputes them per step on
+        host (training_loop.py:280-300); only shape-affecting quantities
+        stay static here."""
+        blur_sigma, swapping_prob, neural_res, ema_beta = \
+            self._schedules(cur_nimg)
+        blur_size = int(np.floor(blur_sigma * 3))
+        sp = (None if swapping_prob is None
+              else jnp.float32(swapping_prob))
+        return self._step(state, z, c, real_img, key,
+                          jnp.float32(blur_sigma), sp,
+                          jnp.float32(ema_beta), jnp.float32(ada_p),
+                          blur_size=blur_size, neural_res=neural_res,
+                          do_greg=do_greg, do_dreg=do_dreg)
+
+    @partial(jax.jit, static_argnames=("self", "do_greg", "do_dreg",
+                                       "neural_res", "blur_size"))
+    def _step(self, state, z, c, real_img, key, blur_sigma, swapping_prob,
+              ema_beta, ada_p, *, blur_size: int, neural_res: int,
+              do_greg: bool, do_dreg: bool):
         cfg = self.cfg
-        blur_sigma, swapping_prob, neural_res = self._schedules(cur_nimg)
         k_g, k_greg, k_d, k_dreg = jax.random.split(key, 4)
 
         real_raw = filtered_resizing(real_img, neural_res, cfg.filter_mode)
-        real_raw = _blur(real_raw, blur_sigma)
+        real_raw = _blur(real_raw, blur_sigma, blur_size)
 
-        # G phase.
+        # G phase (+ lazy Greg at gain = g_reg_interval, loss.py:152,
+        # training_loop.py:284).
         g_loss, g_grads = jax.value_and_grad(self.gmain_loss)(
             state["g_params"], state["d_params"], z, c, k_g, blur_sigma,
-            swapping_prob, neural_res)
+            blur_size, swapping_prob, neural_res, ada_p)
+        metrics = {"g_loss": g_loss}
         if do_greg:
             greg, greg_grads = jax.value_and_grad(self.greg_loss)(
                 state["g_params"], z, c, k_greg, swapping_prob)
-            g_grads = jax.tree_util.tree_map(lambda a, b: a + b, g_grads,
-                                             greg_grads)
+            gain = float(cfg.g_reg_interval)
+            g_grads = jax.tree_util.tree_map(
+                lambda a, b: a + gain * b, g_grads, greg_grads)
+            metrics["g_reg"] = greg
         g_updates, g_opt_state = self.g_opt.update(
             _sanitize(g_grads), state["g_opt"], state["g_params"])
         g_params = optax.apply_updates(state["g_params"], g_updates)
 
-        # D phase.
-        d_loss, d_grads = jax.value_and_grad(self.dmain_loss)(
+        # D phase (+ lazy Dr1 at gain = d_reg_interval, loss.py:290).
+        (d_loss, signs_real), d_grads = jax.value_and_grad(
+            self.dmain_loss, has_aux=True)(
             state["d_params"], g_params, z, c, real_img, real_raw, k_d,
-            blur_sigma, swapping_prob, neural_res)
+            blur_sigma, blur_size, swapping_prob, neural_res, ada_p)
+        metrics["d_loss"] = d_loss
+        metrics["signs_real"] = signs_real
         if do_dreg:
             dreg, dreg_grads = jax.value_and_grad(self.dreg_loss)(
-                state["d_params"], real_img, real_raw, c, k_dreg, blur_sigma)
-            d_grads = jax.tree_util.tree_map(lambda a, b: a + b, d_grads,
-                                             dreg_grads)
+                state["d_params"], real_img, real_raw, c, k_dreg,
+                blur_sigma, blur_size, ada_p)
+            gain = float(cfg.d_reg_interval)
+            d_grads = jax.tree_util.tree_map(
+                lambda a, b: a + gain * b, d_grads, dreg_grads)
+            metrics["d_reg"] = dreg
         d_updates, d_opt_state = self.d_opt.update(
             _sanitize(d_grads), state["d_opt"], state["d_params"])
         d_params = optax.apply_updates(state["d_params"], d_updates)
 
-        # EMA (training_loop.py:307-317).
-        ema_nimg = cfg.ema_kimg * 1000
-        if cfg.ema_rampup is not None:
-            ema_nimg = min(ema_nimg, max(cur_nimg, 1) * cfg.ema_rampup)
-        ema_beta = 0.5 ** (cfg.batch_size / max(ema_nimg, 1e-8))
+        # EMA (training_loop.py:307-317), beta traced.
         g_ema = jax.tree_util.tree_map(
             lambda e, p: p + (e - p) * ema_beta, state["g_ema"], g_params)
 
         new_state = {"g_params": g_params, "d_params": d_params,
                      "g_ema": g_ema, "g_opt": g_opt_state,
                      "d_opt": d_opt_state}
-        metrics = {"g_loss": g_loss, "d_loss": d_loss}
         return new_state, metrics
 
 

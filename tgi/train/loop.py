@@ -58,7 +58,9 @@ def training_loop(
     batches = infinite_batches(dataset, cfg.batch_size, seed=seed,
                                host_id=host_id, num_hosts=num_hosts)
 
-    trainer = GANTrainer(G, d_cfg, cfg)
+    from tgi.train.augment import AdaptiveAugment, AugmentPipe
+    augment_fn = AugmentPipe() if ada_target is not None else None
+    trainer = GANTrainer(G, d_cfg, cfg, augment_fn=augment_fn)
     key = jax.random.PRNGKey(seed)
     state = init_train_state(key, G, d_cfg, trainer)
     cur_nimg = 0
@@ -73,8 +75,10 @@ def training_loop(
         state = replicate(mesh, state)
 
     ada_p = 0.0
-    from tgi.train.augment import AdaptiveAugment
-    ada = AdaptiveAugment(batch_size=cfg.batch_size) if ada_target else None
+    ada = (AdaptiveAugment(target=ada_target, batch_size=cfg.batch_size)
+           if ada_target is not None else None)
+    ada_signs = []          # Loss/signs/real window since last adjustment
+    batch_idx = 0
 
     tick = 0
     tick_start_nimg = cur_nimg
@@ -94,13 +98,21 @@ def training_loop(
         n_batch = cur_nimg // cfg.batch_size
         do_greg = (n_batch % cfg.g_reg_interval) == 0
         do_dreg = (n_batch % cfg.d_reg_interval) == 0
-        # Coarse-grained schedule nimg to bound recompiles (4k buckets).
-        sched_nimg = (cur_nimg // 4096) * 4096
         state, metrics = trainer.train_step(
-            state, z, real_c, real_img, k_step, cur_nimg=sched_nimg,
-            do_greg=do_greg, do_dreg=do_dreg)
+            state, z, real_c, real_img, k_step, cur_nimg=cur_nimg,
+            do_greg=do_greg, do_dreg=do_dreg, ada_p=ada_p)
         cur_nimg += cfg.batch_size
-        collector.update({k: float(v) for k, v in metrics.items()})
+        batch_idx += 1
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        collector.update(host_metrics)
+
+        # ADA heuristic every ada_interval batches from Loss/signs/real
+        # (training_loop.py:325-328).
+        if ada is not None:
+            ada_signs.append(host_metrics["signs_real"])
+            if batch_idx % ada.interval == 0:
+                ada_p = ada.update(float(np.mean(ada_signs)))
+                ada_signs.clear()
 
         if cur_nimg >= tick_start_nimg + kimg_per_tick * 1000:
             now = time.time()
@@ -116,10 +128,6 @@ def training_loop(
                            else f"{k} {v}" for k, v in record.items()))
             logger.write(record)
             collector.reset()
-
-            if ada is not None and "d_loss" in stats:
-                # Approximate Loss/signs/real with the d_loss trend.
-                ada_p = ada.update(np.sign(stats["d_loss"]["mean"] - 1.2))
 
             if snapshot_ticks and tick % snapshot_ticks == 0:
                 from tgi.io import save_checkpoint
