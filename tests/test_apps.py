@@ -116,3 +116,52 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
     b = jax.tree_util.tree_leaves(data["params"])
     assert len(a) == len(b)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_coach_with_locality_wired(tiny):
+    """PTICoach + SpaceRegularizer end-to-end (BASELINE config 4 wiring):
+    the regularizer receives the per-image camera from the coach and the
+    tuned params differ from a run without it."""
+    from tgi.invert import CoachConfig, PTICoach
+    from tgi.losses.locality import LocalityConfig, SpaceRegularizer
+    from tgi.losses.lpips import AlexLPIPSLoss
+    G, params = tiny
+    lp = AlexLPIPSLoss(key=jax.random.PRNGKey(2))
+    reg = SpaceRegularizer(G, params, lp, camera=None,
+                           cfg=LocalityConfig(num_samples=1))
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=2,
+                                        lpips_threshold=0.0),
+                     locality_regularizer=reg)
+    cam = camera_batch(1)
+    w = jnp.zeros((1, G.cfg.num_ws, 32))
+    real = jnp.zeros((1, 3, G.cfg.img_resolution, G.cfg.img_resolution))
+    tuned, info = coach.tune(jax.random.PRNGKey(3), params, w, cam, real)
+    assert int(info["steps"]) == 2
+    diff = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+        jax.tree_util.tree_map(lambda a, b: a - b, tuned, params), 0.0)
+    assert diff > 0
+
+
+def test_run_pti_cli_fails_loudly(tmp_path):
+    """Missing weight files must abort, not random-init (VERDICT round 1)."""
+    from click.testing import CliRunner
+    from tgi.apps.run_pti import main
+    from tgi.io import save_checkpoint
+    from tests.test_generator import tiny_config
+    G = TriPlaneGenerator(tiny_config())
+    ck = str(tmp_path / "g.ckpt")
+    save_checkpoint(ck, G.init(jax.random.PRNGKey(0)), config=G.cfg)
+    (tmp_path / "imgs").mkdir()
+    r = CliRunner().invoke(main, ["--network", ck,
+                                  "--images", str(tmp_path / "imgs"),
+                                  "--outdir", str(tmp_path / "out")])
+    assert r.exit_code != 0
+    assert "--pose-weights" in r.output and "--allow-random-init" in r.output
+    # A typo'd path is an error even with --allow-random-init.
+    r2 = CliRunner().invoke(main, ["--network", ck,
+                                   "--images", str(tmp_path / "imgs"),
+                                   "--outdir", str(tmp_path / "out"),
+                                   "--allow-random-init",
+                                   "--pose-weights", "/no/such/file.pt"])
+    assert r2.exit_code != 0 and "file not found" in r2.output

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from tgi.models.pose_resnet import (convert_torch_state_dict, resnet34_apply)
@@ -101,3 +102,99 @@ def test_e4e_parity(rng):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     w0 = np.asarray(e4e_encode_w0(params, jnp.asarray(x)))
     np.testing.assert_allclose(w0, want[:, 0], rtol=2e-3, atol=2e-3)
+
+
+def _torch_lpips_alex():
+    """Minimal torch replica of ``lpips.LPIPS(net='alex')`` (the package is
+    not in the image): torchvision-layout alexnet.features trunk, scaling
+    layer, channel unit-norm, non-negative 1x1 lin heads, spatial average."""
+    from torch import nn
+
+    class LPIPSAlex(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU(True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(True),
+                nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(True),
+                nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(True),
+            )
+            self.stages = (1, 4, 7, 9, 11)
+            self.lins = nn.ModuleList(
+                [nn.Conv2d(c, 1, 1, bias=False)
+                 for c in (64, 192, 384, 256, 256)])
+            for lin in self.lins:
+                with torch.no_grad():
+                    lin.weight.abs_()
+            self.register_buffer(
+                "shift", torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1))
+            self.register_buffer(
+                "scale", torch.tensor([.458, .448, .450]).view(1, 3, 1, 1))
+
+        def embed(self, x):
+            x = (x - self.shift) / self.scale
+            acts = []
+            for i, m in enumerate(self.features):
+                x = m(x)
+                if i in self.stages:
+                    acts.append(x)
+            return acts
+
+        def forward(self, a, b):
+            val = 0
+            for fa, fb, lin in zip(self.embed(a), self.embed(b), self.lins):
+                na = fa / (fa.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                nb = fb / (fb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                val = val + lin((na - nb) ** 2).mean(dim=(2, 3))
+            return val.reshape(-1)
+
+    return LPIPSAlex()
+
+
+def test_alex_lpips_parity(rng):
+    """convert_lpips_alex + alex_lpips_distance vs the torch formula
+    (base_coach.py:48's LPIPS(net='alex'), lpips package forward)."""
+    from tgi.models.alexnet import convert_lpips_alex, alex_lpips_distance
+    torch.manual_seed(4)
+    net = _torch_lpips_alex().eval()
+    sd = {}
+    # Emit the lpips-package key layout (net.slice{k}.{tv_idx} + lin{l}).
+    slices = {1: (0, 1), 2: (2, 3, 4), 3: (5, 6, 7), 4: (8, 9), 5: (10, 11)}
+    for k, idxs in slices.items():
+        for i in idxs:
+            m = net.features[i]
+            if hasattr(m, "weight"):
+                sd[f"net.slice{k}.{i}.weight"] = m.weight.detach().numpy()
+                sd[f"net.slice{k}.{i}.bias"] = m.bias.detach().numpy()
+    for l, lin in enumerate(net.lins):
+        sd[f"lin{l}.model.1.weight"] = lin.weight.detach().numpy()
+    trunk, head = convert_lpips_alex(sd)
+    assert len(trunk["features"]) == 5 and len(head) == 5
+
+    a = (rng.rand(2, 3, 128, 128).astype(np.float32) * 2 - 1)
+    b = (rng.rand(2, 3, 128, 128).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        want = net(torch.as_tensor(a), torch.as_tensor(b)).numpy()
+    got = np.asarray(alex_lpips_distance(trunk, head, jnp.asarray(a),
+                                         jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_alex_lpips_loss_interface():
+    """AlexLPIPSLoss call forms agree with each other."""
+    from tgi.losses.lpips import AlexLPIPSLoss, make_lpips
+    lp = make_lpips("alex", key=jax.random.PRNGKey(7))
+    assert isinstance(lp, AlexLPIPSLoss)
+    a = jnp.linspace(-1, 1, 2 * 3 * 64 * 64).reshape(2, 3, 64, 64)
+    b = -a
+    d1 = lp.from_unit(a, b)
+    d2 = lp((a + 1) * 127.5, (b + 1) * 127.5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    fa = lp.features((a + 1) * 127.5)
+    fb = lp.features((b + 1) * 127.5)
+    d3 = jnp.sum(jnp.square(fa - fb), axis=-1)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), rtol=1e-4,
+                               atol=1e-6)

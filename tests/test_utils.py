@@ -117,3 +117,67 @@ def test_image_folder_dataset_zip(tmp_path, rng):
     np.testing.assert_allclose(imgf, img[:, :, ::-1], atol=1e-6)
     b_img, b_lbl = next(infinite_batches(ds, 2))
     assert b_img.shape == (2, 3, 16, 16) and b_lbl.shape == (2, 25)
+
+
+def test_tf_pickle_rejected_and_nondict_guard():
+    """legacy.py:29-34 tier: TF-era tflib pickles are detected and rejected
+    with an actionable message; unknown payloads error clearly."""
+    import pickle
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from tgi.io.pickle_import import load_network_pkl
+
+    mod = types.ModuleType("dnnlib")
+    sub = types.ModuleType("dnnlib.tflib")
+    netm = types.ModuleType("dnnlib.tflib.network")
+
+    class Network(dict):
+        pass
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    netm.Network = Network
+    saved = {k: sys.modules.get(k)
+             for k in ("dnnlib", "dnnlib.tflib", "dnnlib.tflib.network")}
+    sys.modules.update({"dnnlib": mod, "dnnlib.tflib": sub,
+                        "dnnlib.tflib.network": netm})
+    try:
+        blob = pickle.dumps((Network(), Network(), Network()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    with _pytest.raises(NotImplementedError, match="legacy.py"):
+        load_network_pkl(blob)
+    with _pytest.raises(ValueError, match="unrecognized"):
+        load_network_pkl(pickle.dumps([1, 2]))
+
+
+def test_force_fp16_config_rewrite(tmp_path):
+    """load_generator(force_fp16=True) mirrors legacy.py:48-60's kwargs
+    rewrite as a config switch."""
+    import pickle
+
+    from tgi.io.pickle_import import (CapturedModule, load_generator)
+
+    meta = {"class_name": "TriPlaneGenerator",
+            "state": {"_init_args": (512, 25, 512, 128, 3),
+                      "_init_kwargs": {"rendering_kwargs": {
+                          "depth_resolution": 8}},
+                      "_modules": {}, "_parameters": {}, "_buffers": {}}}
+    # Persist a dict whose G_ema round-trips through the capture path.
+    import tgi.io.pickle_import as pi
+    blob = pickle.dumps({"G_ema": meta})
+    data = pi.load_network_pkl(blob)
+    cap = CapturedModule(data["G_ema"])
+    cfg = pi.generator_config_from_captured(cap)
+    assert cfg.fused_dtype == "float32"
+    import dataclasses
+    cfg16 = dataclasses.replace(cfg, fused_dtype="bfloat16",
+                                sr_num_fp16_res=4)
+    assert cfg16.fused_dtype == "bfloat16" and cfg16.sr_num_fp16_res == 4

@@ -147,3 +147,50 @@ def test_full_synthesis_parity(reference_setup, converted):
                                reference_setup["depth"], atol=2e-3)
     np.testing.assert_allclose(np.asarray(out["image"]),
                                reference_setup["image"], atol=5e-3)
+
+
+@pytest.mark.parametrize("variant", [
+    "SuperresolutionHybrid8X", "SuperresolutionHybrid8XDC",
+    "SuperresolutionHybrid4X", "SuperresolutionHybrid2X",
+    "SuperresolutionHybridDeepfp32"])
+def test_superres_variant_parity(variant):
+    """Every SR_VARIANTS entry vs the reference module with ported weights
+    (superresolution.py:29-291) — incl. the flagship 8XDC 512-path and the
+    SynthesisBlockNoUp wiring (4X/2X/Deepfp32)."""
+    import torch
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import training.superresolution as ref_sr
+    from tgi.io.pickle_import import _nest
+    from tgi.nn.superres import SR_VARIANTS, superresolution_apply
+
+    torch.manual_seed(5)
+    RefCls = getattr(ref_sr, variant)
+    cfg = SR_VARIANTS[variant]
+    kw = {} if variant == "SuperresolutionHybridDeepfp32" \
+        else {"sr_antialias": False}  # Deepfp32 has no antialias arg
+    net = RefCls(channels=32, img_resolution=cfg.img_resolution,
+                 sr_num_fp16_res=0, **kw).eval()
+
+    params = {}
+    for name, t in net.state_dict().items():
+        if name.endswith("resample_filter"):
+            continue
+        _nest(params, name.split("."), jnp.asarray(t.detach().numpy()))
+
+    rng = np.random.RandomState(3)
+    r = 64
+    rgb = rng.randn(1, 3, r, r).astype(np.float32) * 0.1
+    x = rng.randn(1, 32, r, r).astype(np.float32) * 0.1
+    ws = rng.randn(1, 3, 512).astype(np.float32)
+    with torch.no_grad():
+        # .copy(): SynthesisBlockNoUp accumulates img via in-place add_
+        # (superresolution.py:252), which would mutate the shared buffers.
+        want = net(torch.as_tensor(rgb.copy()), torch.as_tensor(x.copy()),
+                   torch.as_tensor(ws), noise_mode="const").numpy()
+    got = np.asarray(superresolution_apply(
+        params, jnp.asarray(rgb), jnp.asarray(x), jnp.asarray(ws), cfg,
+        use_fp16=False, sr_antialias=False, noise_mode="const"))
+    assert got.shape == want.shape == \
+        (1, 3, cfg.img_resolution, cfg.img_resolution)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)

@@ -74,13 +74,15 @@ def list_images(directory):
 
 def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             lpips_head, e4e_params=None, arcface_params=None,
-            camera_mode="quat", first_inv_steps=400, max_pti_steps=400,
-            gen_video=True, gen_mesh=False, do_evaluation=False,
-            save_pivot=True, use_last_w_pivots=False, seed=0):
+            alex_params=None, alex_head=None, lpips_type="alex",
+            use_locality_reg=False, camera_mode="quat", first_inv_steps=400,
+            max_pti_steps=400, gen_video=True, gen_mesh=False,
+            do_evaluation=False, save_pivot=True, use_last_w_pivots=False,
+            seed=0):
     """Invert every image in ``image_dir``. Returns per-image results."""
     from tgi.invert import (CoachConfig, PTICoach, Projector,
                             ProjectorConfig)
-    from tgi.losses.lpips import LPIPSLoss
+    from tgi.losses.lpips import make_lpips
     from tgi.utils.image import load_image, save_image_grid
 
     os.makedirs(out_dir, exist_ok=True)
@@ -93,8 +95,21 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
                      ProjectorConfig(num_steps=first_inv_steps,
                                      camera_mode=camera_mode),
                      e4e_encode=e4e_encode)
-    lp = LPIPSLoss(vgg_params, lpips_head)
-    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=max_pti_steps))
+    # Stage-2 tuning loss: AlexNet-LPIPS by default, matching the
+    # reference's LPIPS(net=hyperparameters.lpips_type) (base_coach.py:48,
+    # hyperparameters.py:2) so the 0.06 early stop keeps its calibration.
+    lp = make_lpips(lpips_type, vgg_params=vgg_params, vgg_head=lpips_head,
+                    alex_params=alex_params, alex_head=alex_head,
+                    key=jax.random.PRNGKey(seed))
+    locality = None
+    if use_locality_reg:
+        # BASELINE config 4 / hyperparameters.py:9
+        # use_locality_regularization — per-image camera is threaded by the
+        # coach at loss time.
+        from tgi.losses.locality import SpaceRegularizer
+        locality = SpaceRegularizer(G, gen_params, lp, camera=None)
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=max_pti_steps),
+                     locality_regularizer=locality)
 
     results = []
     key = jax.random.PRNGKey(seed)
@@ -187,6 +202,16 @@ def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
 @click.option("--e4e-weights", default=None)
 @click.option("--vgg-weights", default=None)
 @click.option("--arcface-weights", default=None)
+@click.option("--lpips-weights", default=None,
+              help="lpips-package LPIPS(net='alex') state dict .pt")
+@click.option("--lpips-type", default="alex",
+              type=click.Choice(["alex", "vgg"]),
+              help="stage-2 tuning loss backbone (hyperparameters.py:2)")
+@click.option("--use-locality-reg/--no-locality-reg", default=False,
+              help="Space_Regulizer during tuning (hyperparameters.py:9)")
+@click.option("--allow-random-init", is_flag=True, default=False,
+              help="permit random init when weight files are absent "
+                   "(smoke tests only — outputs are garbage)")
 @click.option("--camera-mode", default="quat",
               type=click.Choice(["2d", "quat", "6d"]))
 @click.option("--first-inv-steps", default=400)
@@ -195,25 +220,39 @@ def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
 @click.option("--mesh/--no-mesh", "gen_mesh", default=False)
 @click.option("--eval/--no-eval", "do_evaluation", default=False)
 def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
-         arcface_weights, camera_mode, first_inv_steps, max_pti_steps,
+         arcface_weights, lpips_weights, lpips_type, use_locality_reg,
+         allow_random_init, camera_mode, first_inv_steps, max_pti_steps,
          gen_video, gen_mesh, do_evaluation):
+    from tgi.models.alexnet import (alex_head_init, alexnet_init,
+                                    convert_lpips_alex)
     from tgi.models.pose_resnet import (convert_torch_state_dict,
                                         resnet34_init)
     from tgi.models.vgg import (convert_lpips_head, convert_torch_features,
                                 lpips_head_init, vgg16_init)
 
+    def require(path, flag):
+        """A typo'd or absent weight file must fail loudly, not silently
+        random-init into garbage reconstructions."""
+        if path and not os.path.exists(path):
+            raise click.ClickException(f"{flag}: file not found: {path}")
+        if not path and not allow_random_init:
+            raise click.ClickException(
+                f"{flag} is required (or pass --allow-random-init for a "
+                "smoke run with random weights)")
+        return bool(path)
+
     G, gen_params = load_any_generator(network)
     key = jax.random.PRNGKey(0)
 
     dims = {"2d": 2, "quat": 4, "6d": 6}[camera_mode]
-    if pose_weights:
+    if require(pose_weights, "--pose-weights"):
         pose_params = convert_torch_state_dict(
             load_torch_state_dict(pose_weights))
     else:
         click.echo("WARNING: random-init pose estimator (no --pose-weights)")
         pose_params = resnet34_init(key, output_dims=dims)
 
-    if vgg_weights:
+    if require(vgg_weights, "--vgg-weights"):
         sd = load_torch_state_dict(vgg_weights)
         vgg_params = convert_torch_features(sd)
         lpips_head = convert_lpips_head(sd) or lpips_head_init(key)
@@ -221,6 +260,17 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
         click.echo("WARNING: random-init VGG/LPIPS (no --vgg-weights)")
         vgg_params = vgg16_init(key)
         lpips_head = lpips_head_init(key)
+
+    alex_params = alex_head = None
+    if lpips_type == "alex":
+        if require(lpips_weights, "--lpips-weights"):
+            alex_params, alex_head = convert_lpips_alex(
+                load_torch_state_dict(lpips_weights))
+        else:
+            click.echo("WARNING: random-init alex-LPIPS "
+                       "(no --lpips-weights)")
+            alex_params = alexnet_init(key)
+            alex_head = alex_head_init(key)
 
     e4e_params = None
     if e4e_weights:
@@ -235,7 +285,9 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
     run_pti(image_dir, out_dir, G=G, gen_params=gen_params,
             pose_params=pose_params, vgg_params=vgg_params,
             lpips_head=lpips_head, e4e_params=e4e_params,
-            arcface_params=arc, camera_mode=camera_mode,
+            arcface_params=arc, alex_params=alex_params,
+            alex_head=alex_head, lpips_type=lpips_type,
+            use_locality_reg=use_locality_reg, camera_mode=camera_mode,
             first_inv_steps=first_inv_steps, max_pti_steps=max_pti_steps,
             gen_video=gen_video, gen_mesh=gen_mesh,
             do_evaluation=do_evaluation)

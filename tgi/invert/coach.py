@@ -82,7 +82,8 @@ class PTICoach:
         loss += lp * cfg.pt_lpips_lambda
 
         if self.locality_regularizer is not None:
-            loss += self.locality_regularizer(params, w_pivot, key)
+            loss += self.locality_regularizer(params, w_pivot, key,
+                                              camera=camera)
 
         loss += compute_tv_norm(out["image_depth"][0])
         return loss, {"l2": l2_val, "lpips": lp}

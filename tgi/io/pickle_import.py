@@ -118,6 +118,11 @@ _SAFE_TORCH_NAMES = {
 }
 
 
+class _TFNetworkStub(_EasyDict):
+    """Marker for dnnlib.tflib.network.Network entries (TF-era pickles,
+    legacy.py:64-66)."""
+
+
 class ReferenceUnpickler(pickle.Unpickler):
     """Unpickler that captures persistent modules instead of executing
     their embedded source, and never resolves classes outside the exact
@@ -126,6 +131,8 @@ class ReferenceUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if name == "_reconstruct_persistent_obj":
             return _reconstruct_captured
+        if module == "dnnlib.tflib.network" and name == "Network":
+            return _TFNetworkStub
         if (module, name) == ("dnnlib", "EasyDict") or name == "EasyDict":
             return _EasyDict
         if (module, name) in _SAFE_CLASSES or \
@@ -139,12 +146,35 @@ class ReferenceUnpickler(pickle.Unpickler):
 
 def load_network_pkl(path_or_bytes) -> dict:
     """Load a reference pickle; returns the raw dict with CapturedModule
-    values for G/D/G_ema (plus any plain entries)."""
+    values for G/D/G_ema (plus any plain entries).
+
+    TF-era pickles (a (G, D, Gs) tuple of tflib Networks, legacy.py:29-34)
+    are detected and rejected with a actionable error: they predate the
+    tri-plane generator, so there is no EG3D architecture to map them onto
+    — convert them with the reference's legacy.py into a modern pickle
+    first. Modern pickles (including force-fp16 variants) load natively.
+    """
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        f = io.BytesIO(path_or_bytes)
-        return ReferenceUnpickler(f).load()
-    with open(path_or_bytes, "rb") as f:
-        return ReferenceUnpickler(f).load()
+        data = ReferenceUnpickler(io.BytesIO(path_or_bytes)).load()
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = ReferenceUnpickler(f).load()
+    if isinstance(data, tuple) and len(data) == 3 and \
+            all(isinstance(net, _TFNetworkStub) for net in data):
+        raise NotImplementedError(
+            "TF-era StyleGAN pickle (dnnlib.tflib Network tuple): these "
+            "carry 2D StyleGAN weights with no tri-plane decoder and "
+            "cannot be expressed as an EG3D generator. Convert with the "
+            "upstream legacy.py (python legacy.py --network=<tf.pkl> "
+            "--dest=<out.pkl>) and load the converted pickle.")
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"unrecognized network pickle payload: {type(data).__name__} "
+            "(expected a dict with G/D/G_ema entries)")
+    # legacy.py:36-40 'add missing fields'
+    data.setdefault("training_set_kwargs", None)
+    data.setdefault("augment_pipe", None)
+    return data
 
 
 def _to_numpy(t) -> np.ndarray:
@@ -258,10 +288,22 @@ def generator_config_from_captured(cap: CapturedModule):
     )
 
 
-def load_generator(path, key: str = "G_ema"):
-    """One call: pickle path -> (GeneratorConfig, params pytree)."""
+def load_generator(path, key: str = "G_ema", force_fp16: bool = False):
+    """One call: pickle path -> (GeneratorConfig, params pytree).
+
+    ``force_fp16`` mirrors legacy.py:48-60's init-kwargs rewrite
+    (num_fp16_res=4, conv_clamp=256): in tgi, mixed precision is a config
+    switch, so the rewrite is ``fused_dtype='bfloat16'`` +
+    ``sr_num_fp16_res=4`` — no parameter copying needed (weights are
+    dtype-independent pytrees).
+    """
+    import dataclasses
+
     data = load_network_pkl(path)
     cap = data[key]
     cfg = generator_config_from_captured(cap)
+    if force_fp16:
+        cfg = dataclasses.replace(cfg, fused_dtype="bfloat16",
+                                  sr_num_fp16_res=4)
     params = convert_generator_params(captured_state_dict(cap))
     return cfg, params

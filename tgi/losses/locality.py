@@ -40,27 +40,30 @@ class SpaceRegularizer:
         self.camera = camera
         self.cfg = cfg
 
-    def _interpolated_ws(self, key, w_pivot):
+    def _interpolated_ws(self, key, w_pivot, camera):
         """w_pivot + alpha-normalized directions to sampled ws
         (localitly_regulizer.py:15-22)."""
         cfg = self.cfg
         z = jax.random.normal(key, (cfg.num_samples, self.G.cfg.z_dim))
-        cam = jnp.tile(self.camera, (cfg.num_samples, 1))
+        cam = jnp.tile(camera, (cfg.num_samples, 1))
         w_samples = self.G.mapping(self.original_params, z, cam,
                                    truncation_psi=0.5)
         direction = w_samples - w_pivot
         norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
         return w_pivot + cfg.alpha * direction / (norm + 1e-8)
 
-    def __call__(self, new_params, w_pivot, key):
+    def __call__(self, new_params, w_pivot, key, camera=None):
+        """camera overrides the constructor default — PTICoach passes the
+        per-image pivot camera so one regularizer serves every image."""
         cfg = self.cfg
-        ws = self._interpolated_ws(key, w_pivot)
+        camera = self.camera if camera is None else camera
+        ws = self._interpolated_ws(key, w_pivot, camera)
         loss = 0.0
         for i in range(cfg.num_samples):
             w = ws[i:i + 1]
-            old = self.G.synthesis(self.original_params, w, self.camera,
+            old = self.G.synthesis(self.original_params, w, camera,
                                    det=True)["image"]
-            new = self.G.synthesis(new_params, w, self.camera,
+            new = self.G.synthesis(new_params, w, camera,
                                    det=True)["image"]
             loss += l2_loss(old, new) * cfg.l2_lambda
             loss += self.lpips.from_unit(old, new).squeeze() \

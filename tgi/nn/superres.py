@@ -40,6 +40,11 @@ SR_VARIANTS = {
     # superresolution.py:94-123 (64 -> 128)
     "SuperresolutionHybrid2X": SRConfig(
         "SuperresolutionHybrid2X", 64, (32, 128, 64, 1), (128, 64, 128, 2), 128),
+    # superresolution.py:127-152 (128 -> 256, fp32 NoUp variant; structurally
+    # 4X — precision is the caller's use_fp16 switch in tgi)
+    "SuperresolutionHybridDeepfp32": SRConfig(
+        "SuperresolutionHybridDeepfp32", 128,
+        (32, 128, 128, 1), (128, 64, 256, 2), 256),
     # Miniature variant for CPU tests and kernel micro-benches (no
     # reference counterpart).
     "SuperresolutionTiny": SRConfig(

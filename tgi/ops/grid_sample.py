@@ -6,8 +6,8 @@ sampler (training/volumetric_rendering/renderer.py:55-66). JAX has no
 native grid_sample; this formulates it as four row-gathers from an
 ``[HW, C]``-transposed feature map plus a lerp — a layout where the gather
 runs along the sublane axis and the channel axis stays vectorized, which
-XLA maps well onto TPU. A fused Pallas kernel lives in
-``tgi.ops.pallas.triplane_kernel`` for the production path.
+XLA maps well onto TPU. On TPU the backward scatter runs the Pallas splat
+kernel (``tgi.ops.pallas.splat``) via custom VJP.
 """
 
 from __future__ import annotations
