@@ -191,7 +191,29 @@ def section_splat():
     def f(s):
         o = plane_splat(y_top, y_bot, x, w_top + s, w_bot, grads, H=H, W=W)
         return jnp.mean(o) * 1e-6
-    report(f"plane_splat G={Gp} P={P}", chain(f, n=4))
+    report(f"plane_splat v1 G={Gp} P={P}", chain(f, n=4))
+
+    from tgi.ops.pallas.splat_mxu import plane_splat_mxu
+    y0 = jax.random.randint(ks[0], (Gp, P), -1, H)
+    x0r = jax.random.randint(ks[1], (Gp, P), -1, W)
+    w4 = jax.random.uniform(ks[5], (Gp, P, 4))
+
+    def fm(s):
+        o = plane_splat_mxu(y0, x0r, w4 + s, grads, H=H, W=W)
+        return jnp.mean(o) * 1e-6
+    report(f"plane_splat mxu G={Gp} P={P} (random cells)", chain(fm, n=4))
+
+    # Ray-realistic coherent points: sorted-ish cells (smooth trajectory).
+    t = jnp.linspace(0, 1, P)
+    yy = (jnp.sin(t * 37.0) * 0.5 + 0.5) * (H - 2)
+    xx = (jnp.cos(t * 29.0) * 0.5 + 0.5) * (W - 2)
+    y0c = jnp.tile(yy.astype(jnp.int32)[None], (Gp, 1))
+    x0c = jnp.tile(xx.astype(jnp.int32)[None], (Gp, 1))
+
+    def fc(s):
+        o = plane_splat_mxu(y0c, x0c, w4 + s, grads, H=H, W=W)
+        return jnp.mean(o) * 1e-6
+    report(f"plane_splat mxu G={Gp} P={P} (coherent)", chain(fc, n=4))
 
 
 def section_micro():

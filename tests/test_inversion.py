@@ -155,3 +155,35 @@ def test_pti_early_stop_with_zero_threshold(setup):
     np.testing.assert_array_equal(
         np.asarray(tuned["decoder"]["net0"]["weight"]),
         np.asarray(setup["gen"]["decoder"]["net0"]["weight"]))
+
+
+def test_projection_snapshots(setup, tmp_path):
+    """visualize_opt_process parity (w_projector.py:193-212): chunked
+    projection fires the snapshot callback at boundaries, writes pivot
+    PNG + warp PNG per boundary, and metrics cover every step."""
+    import os
+
+    from tgi.utils.opt_viz import make_projection_snapshotter
+
+    proj = Projector(setup["G"], setup["gen"], setup["vgg"], setup["head"],
+                     setup["pose"],
+                     ProjectorConfig(num_steps=6, cam_preheat_steps=2,
+                                     w_avg_samples=8))
+    out_dir = str(tmp_path / "run")
+    snap = make_projection_snapshotter(proj, out_dir, "img0")
+    seen = []
+
+    def counting_snap(step, state, target):
+        seen.append(int(step))
+        snap(step, state, target)
+
+    ws, cam, state, metrics = proj.project(
+        jax.random.PRNGKey(1), setup["target"], snapshot_fn=counting_snap,
+        snapshot_every=2)
+    assert seen == [2, 4, 6]
+    assert metrics["loss"].shape[0] == 6
+    pivot_dir = f"{out_dir}_pivot/img0"
+    files = sorted(os.listdir(pivot_dir))
+    assert "2.png" in files and "6.png" in files
+    assert "warp_2.png" in files
+    assert ws.shape[1] == setup["G"].cfg.num_ws

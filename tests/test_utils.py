@@ -181,3 +181,34 @@ def test_force_fp16_config_rewrite(tmp_path):
     cfg16 = dataclasses.replace(cfg, fused_dtype="bfloat16",
                                 sr_num_fp16_res=4)
     assert cfg16.fused_dtype == "bfloat16" and cfg16.sr_num_fp16_res == 4
+
+
+def test_tb_writer(tmp_path):
+    """TBWriter mirrors scalars/images to an event file (log_utils parity);
+    degrades to no-op when tensorboard is absent."""
+    from tgi.utils.opt_viz import TBWriter
+    tb = TBWriter(str(tmp_path))
+    tb.scalar("loss", 1.5, 0)
+    tb.scalars({"a": 1.0, "cam": np.zeros((4, 4))}, 1, prefix="p/")
+    tb.image("img", np.zeros((3, 8, 8), np.float32), 0)
+    tb.flush()
+    tb.close()
+    if tb.active:
+        files = [f for f in os.listdir(tmp_path)
+                 if "tfevents" in f or os.path.isdir(tmp_path / f)]
+        assert files, "no event files written"
+
+
+def test_module_summary():
+    """print_module_summary equivalent (misc.py:212-265): totals and
+    per-module rows over a params pytree."""
+    from tgi.utils.summary import module_summary
+    params = {"mapping": {"fc0": {"weight": np.zeros((4, 8)),
+                                  "bias": np.zeros(4)},
+                          "fc1": {"weight": np.zeros((4, 4))}},
+              "const": np.zeros((2, 2))}
+    out = module_summary(params, max_depth=2)
+    assert "mapping.fc0" in out and "Total" in out
+    assert f"{4*8 + 4 + 16 + 4:,}" in out
+    out1 = module_summary(params, max_depth=1)
+    assert "mapping" in out1 and "fc0" not in out1

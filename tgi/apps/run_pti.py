@@ -78,7 +78,7 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             use_locality_reg=False, camera_mode="quat", first_inv_steps=400,
             max_pti_steps=400, gen_video=True, gen_mesh=False,
             do_evaluation=False, save_pivot=True, use_last_w_pivots=False,
-            seed=0):
+            visualize_opt=False, tensorboard=False, seed=0):
     """Invert every image in ``image_dir``. Returns per-image results."""
     from tgi.invert import (CoachConfig, PTICoach, Projector,
                             ProjectorConfig)
@@ -110,6 +110,10 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
         locality = SpaceRegularizer(G, gen_params, lp, camera=None)
     coach = PTICoach(G, lp, CoachConfig(max_pti_steps=max_pti_steps),
                      locality_regularizer=locality)
+    tb = None
+    if tensorboard:
+        from tgi.utils.opt_viz import TBWriter
+        tb = TBWriter(os.path.join(out_dir, "tb"))
 
     results = []
     key = jax.random.PRNGKey(seed)
@@ -131,7 +135,17 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             ws = jnp.asarray(np.load(ws_file))
             cam = jnp.asarray(np.load(cam_file))
         else:
-            ws, cam, state, metrics = proj.project(k_proj, target_255)
+            snapshot_fn = None
+            if visualize_opt:
+                from tgi.utils.opt_viz import make_projection_snapshotter
+                snapshot_fn = make_projection_snapshotter(proj, out_dir,
+                                                          name, tb=tb)
+            ws, cam, state, metrics = proj.project(
+                k_proj, target_255, snapshot_fn=snapshot_fn)
+            if tb is not None:
+                losses = np.asarray(metrics["loss"])
+                for s, v in enumerate(losses):
+                    tb.scalar(f"{name}/projection_loss", v, s)
             np.save(ws_file, np.asarray(ws))
             np.save(cam_file, np.asarray(cam))
 
@@ -140,6 +154,12 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             save_image_grid(os.path.join(out_dir, f"{name}_pivot.png"),
                             np.concatenate([np.asarray(img),
                                             np.asarray(pivot_out["image"])]))
+        if gen_video:
+            # Pivot-stage orbit BEFORE tuning (single_id_coach.py:57-62).
+            from tgi.apps.gen_videos import gen_interp_video
+            gen_interp_video(G, gen_params, ws,
+                             os.path.join(out_dir, f"{name}_pivot.mp4"),
+                             num_frames=60, batch=4)
 
         # Stage 2.
         tuned, info = coach.tune(k_tune, gen_params, ws, cam,
@@ -165,6 +185,10 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
         entry = {"image": name, "pti_steps": int(info["steps"]),
                  "final_lpips": float(info["final_lpips"]),
                  "sec": round(time.time() - t0, 2)}
+        if tb is not None:
+            tb.scalars({k: v for k, v in entry.items() if k != "image"},
+                       len(results), prefix=f"{name}/")
+            tb.flush()
         if do_evaluation:
             entry.update(evaluate_reconstruction(
                 final_out["image"], jnp.asarray(img), lp, arcface_params))
@@ -219,10 +243,15 @@ def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
 @click.option("--video/--no-video", "gen_video", default=True)
 @click.option("--mesh/--no-mesh", "gen_mesh", default=False)
 @click.option("--eval/--no-eval", "do_evaluation", default=False)
+@click.option("--visualize-opt/--no-visualize-opt", default=False,
+              help="dump reconstruction + warp PNGs every 10 projection "
+                   "steps (w_projector.py:193-212)")
+@click.option("--tensorboard/--no-tensorboard", default=False,
+              help="mirror metrics/images to <outdir>/tb (log_utils.py)")
 def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
          arcface_weights, lpips_weights, lpips_type, use_locality_reg,
          allow_random_init, camera_mode, first_inv_steps, max_pti_steps,
-         gen_video, gen_mesh, do_evaluation):
+         gen_video, gen_mesh, do_evaluation, visualize_opt, tensorboard):
     from tgi.models.alexnet import (alex_head_init, alexnet_init,
                                     convert_lpips_alex)
     from tgi.models.pose_resnet import (convert_torch_state_dict,
@@ -290,7 +319,8 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
             use_locality_reg=use_locality_reg, camera_mode=camera_mode,
             first_inv_steps=first_inv_steps, max_pti_steps=max_pti_steps,
             gen_video=gen_video, gen_mesh=gen_mesh,
-            do_evaluation=do_evaluation)
+            do_evaluation=do_evaluation, visualize_opt=visualize_opt,
+            tensorboard=tensorboard)
 
 
 if __name__ == "__main__":

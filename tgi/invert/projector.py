@@ -284,8 +284,15 @@ class Projector:
 
         return bound
 
-    def project(self, key, target_255, num_steps=None):
+    def project(self, key, target_255, num_steps=None, snapshot_fn=None,
+                snapshot_every=10):
         """Run the full two-phase projection.
+
+        ``snapshot_fn(step, train_state, target_255)`` — when given, the
+        scans run in ``snapshot_every``-step chunks and the callback fires
+        at each boundary (w_projector.py:193-212's visualize_opt_process;
+        see tgi.utils.opt_viz.make_projection_snapshotter). The hot loop
+        stays fused on device; only chunk boundaries sync to host.
 
         Returns (ws [1, num_ws, D], camera [1, 25], final_state, metrics).
         """
@@ -305,12 +312,31 @@ class Projector:
                                  preheat=False)
 
         carry = (train_state, opt_states, k_loop)
-        carry, metrics_a = jax.lax.scan(step_a, carry,
-                                        jnp.arange(preheat_steps))
-        metrics_b = None
-        if num_steps > preheat_steps:
-            carry, metrics_b = jax.lax.scan(
-                step_b, carry, jnp.arange(preheat_steps, num_steps))
+        if snapshot_fn is None:
+            carry, metrics_a = jax.lax.scan(step_a, carry,
+                                            jnp.arange(preheat_steps))
+            metrics_b = None
+            if num_steps > preheat_steps:
+                carry, metrics_b = jax.lax.scan(
+                    step_b, carry, jnp.arange(preheat_steps, num_steps))
+        else:
+            # Chunked execution: segments never straddle the preheat/joint
+            # boundary, so only two scan programs compile (one per phase,
+            # per distinct chunk length).
+            bounds = sorted({0, preheat_steps, num_steps}
+                            | set(range(0, num_steps, max(snapshot_every,
+                                                          1))))
+            bounds = [b for b in bounds if b <= num_steps]
+            chunks_a, chunks_b = [], []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                step = step_a if a < preheat_steps else step_b
+                carry, m = jax.lax.scan(step, carry, jnp.arange(a, b))
+                (chunks_a if a < preheat_steps else chunks_b).append(m)
+                snapshot_fn(b, carry[0], target_255)
+            cat = lambda ms: jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *ms)
+            metrics_a = cat(chunks_a)
+            metrics_b = cat(chunks_b) if chunks_b else None
         train_state, opt_states, _ = carry
 
         # Final camera from the tuned pose head (no w noise).

@@ -141,9 +141,15 @@ def _gsp_fwd(img, coords):
 
 
 def _gsp_bwd(res, g):
-    """Backward: d_img via the Pallas splat kernel (XLA's scatter lowering
-    costs ~10 s/frame on TPU, tgi/ops/pallas/splat.py); d_coords from a
-    re-gather of the corner pairs (cheaper than saving them)."""
+    """Backward: d_img via a Pallas splat kernel (XLA's scatter lowering
+    costs ~10 s/frame on TPU); d_coords from a re-gather of the corner
+    pairs (cheaper than saving them).
+
+    Kernel selection: the sorted one-hot MXU kernel
+    (tgi/ops/pallas/splat_mxu.py) by default; TGI_SPLAT=v1 selects the
+    serialized-RMW v1 kernel (tgi/ops/pallas/splat.py) for comparison.
+    """
+    import os
     from tgi.ops.pallas.splat import POINT_BLOCK, plane_splat
     img, coords = res
     N, C, H, W = img.shape
@@ -170,16 +176,27 @@ def _gsp_bwd(res, g):
     d_coords = jnp.stack([dix * (W / 2.0), diy * (H / 2.0)],
                          axis=-1).astype(coords.dtype)
 
-    # d_img via the splat kernel (pad P to the kernel block size).
-    y_top, y_bot, x_c, w_top, w_bot = _corner_weights(x0, y0, wx, wy, H, W)
-    pad = (-P) % POINT_BLOCK
-    if pad:
-        zi = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
-        zw = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
-        y_top, y_bot, x_c = zi(y_top), zi(y_bot), zi(x_c)
-        w_top, w_bot, g32 = zw(w_top), zw(w_bot), zw(g32)
-    d_img_nhwc = plane_splat(y_top, y_bot, x_c, w_top.astype(jnp.float32),
-                             w_bot.astype(jnp.float32), g32, H=H, W=W)
+    if os.environ.get("TGI_SPLAT", "v1") == "v1":
+        # v1: serialized-RMW kernel (pad P to its block size).
+        y_top, y_bot, x_c, w_top, w_bot = _corner_weights(x0, y0, wx, wy,
+                                                          H, W)
+        pad = (-P) % POINT_BLOCK
+        if pad:
+            zi = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+            zw = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+            y_top, y_bot, x_c = zi(y_top), zi(y_bot), zi(x_c)
+            w_top, w_bot, g32 = zw(w_top), zw(w_bot), zw(g32)
+        d_img_nhwc = plane_splat(y_top, y_bot, x_c,
+                                 w_top.astype(jnp.float32),
+                                 w_bot.astype(jnp.float32), g32, H=H, W=W)
+    else:
+        from tgi.ops.pallas.splat_mxu import plane_splat_mxu
+        wxs = wx[..., 0]
+        wys = wy[..., 0]
+        w4 = jnp.stack([(1 - wxs) * (1 - wys), wxs * (1 - wys),
+                        (1 - wxs) * wys, wxs * wys], axis=-1)
+        d_img_nhwc = plane_splat_mxu(y0, x0, w4.astype(jnp.float32), g32,
+                                     H=H, W=W)
     d_img = jnp.transpose(d_img_nhwc, (0, 3, 1, 2)).astype(img.dtype)
     return d_img, d_coords
 

@@ -45,10 +45,16 @@ def training_loop(
     seed: int = 0,
     metric_fns: dict | None = None,
     abort_fn=None,
+    tensorboard: bool = False,
 ):
     os.makedirs(run_dir, exist_ok=True)
     logger = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
     collector = Collector()
+    tb = None
+    if tensorboard:
+        # Optional mirror of the jsonl stream (utils/log_utils.py parity).
+        from tgi.utils.opt_viz import TBWriter
+        tb = TBWriter(os.path.join(run_dir, "tb"))
 
     dataset = ImageFolderDataset(data_path,
                                  resolution=G.cfg.img_resolution,
@@ -127,6 +133,9 @@ def training_loop(
             print(" ".join(f"{k} {v:.4g}" if isinstance(v, float)
                            else f"{k} {v}" for k, v in record.items()))
             logger.write(record)
+            if tb is not None:
+                tb.scalars(record, cur_nimg // 1000, prefix="train/")
+                tb.flush()
             collector.reset()
 
             if snapshot_ticks and tick % snapshot_ticks == 0:
