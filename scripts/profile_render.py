@@ -25,17 +25,19 @@ def chain(fn, *args, n=8, warmup=1):
     """Time fn(*args) device-bound: scan n dependent evals inside one jit.
 
     fn must accept a scalar perturbation as first arg and return a scalar.
+    args are passed as real jit arguments (NOT captured constants — the
+    axon remote-compile endpoint rejects >100 MB program bodies).
     """
     @jax.jit
-    def run(s):
-        out, _ = jax.lax.scan(lambda c, _: (fn(c, *args), None), s, None,
+    def run(s, *a):
+        out, _ = jax.lax.scan(lambda c, _: (fn(c, *a), None), s, None,
                               length=n)
         return out
 
     for _ in range(warmup):
-        float(run(jnp.float32(0)))
+        float(run(jnp.float32(0), *args))
     t0 = time.perf_counter()
-    float(run(jnp.float32(0)))
+    float(run(jnp.float32(0), *args))
     return (time.perf_counter() - t0) / n
 
 
@@ -166,12 +168,164 @@ def section_render():
     def sr(s):
         img = superresolution_apply(
             params["superresolution"], rgbimg + s, feat, ws, G.cfg.sr_cfg,
-            use_fp16=True, fused_dtype="bfloat16", sr_antialias=True)
+            use_fp16=True, fused_dtype="bfloat16", sr_antialias=True,
+            noise_mode="const")
         return jnp.mean(img) * 1e-6
     try:
         report("superres fwd", chain(sr))
     except Exception as e:
         print("superres direct call failed:", type(e).__name__, e)
+
+
+def section_hot():
+    """Quick re-bench of the render hot path after kernel changes."""
+    from tgi.models import TriPlaneGenerator, GeneratorConfig
+    from tgi.render import rays as raymod
+    from tgi.render.cameras import (fov_to_intrinsics, look_at_pose)
+    from tgi.render.renderer import importance_render, run_model
+    from tgi.render.importance import sample_stratified
+    from tgi.ops import sample_triplanes
+
+    key = jax.random.PRNGKey(0)
+    G = TriPlaneGenerator(GeneratorConfig(fused_dtype="bfloat16"))
+    params = G.init(key)
+    cam = look_at_pose(np.pi / 2, np.pi / 2, jnp.asarray([0., 0., 0.2]),
+                       radius=2.7)
+    planes = jax.jit(lambda w: G.backbone_planes(params, w))(
+        jnp.zeros((1, G.cfg.num_ws, 512)))
+    planes = jax.block_until_ready(planes.astype(jnp.float32))
+    opts = G.cfg.rendering_kwargs
+    nres = G.cfg.neural_rendering_resolution
+    intr = fov_to_intrinsics(18.837)
+    ro, rd = raymod.ray_sampler(cam[None], intr[None], nres)
+    S = opts["depth_resolution"]
+    N, M = ro.shape[0], ro.shape[1]
+    depths = jax.block_until_ready(jax.jit(
+        lambda: sample_stratified(key, ro, 2.25, 3.3, S, det=True))())
+    coords = (ro[:, :, None, :] + depths * rd[:, :, None, :]).reshape(N, -1, 3)
+    layout = (nres, nres, S)
+    dec = params["decoder"]
+
+    def st_loss(p, s):
+        f = sample_triplanes(p + s, coords, box_warp=opts["box_warp"],
+                             point_layout=layout)
+        return jnp.mean(f.astype(jnp.float32) ** 2)
+    stg = jax.grad(st_loss)
+    report("sample_triplanes fwd+bwd (layout)", chain(
+        lambda s, p: jnp.mean(stg(p, s)) * 1e-6, planes))
+
+    def st_loss0(p, s):
+        f = sample_triplanes(p + s, coords, box_warp=opts["box_warp"])
+        return jnp.mean(f.astype(jnp.float32) ** 2)
+    stg0 = jax.grad(st_loss0)
+    report("sample_triplanes fwd+bwd (no layout)", chain(
+        lambda s, p: jnp.mean(stg0(p, s)) * 1e-6, planes))
+
+    def rend_loss(p, s):
+        rgb, d, wsum = importance_render(p + s, dec, ro, rd, opts, det=True)
+        return jnp.mean(rgb * rgb)
+    gfn = jax.grad(rend_loss)
+    report("importance_render fwd+bwd(planes)", chain(
+        lambda s, p: jnp.mean(gfn(p, s)) * 1e-6, planes))
+
+    # warp loss with the dense small-grid path
+    from tgi.losses.warp import calc_warping_loss
+    from tgi.models.vgg import vgg16_init, warping_features
+    from functools import partial
+    vgg = vgg16_init(jax.random.PRNGKey(1))
+    target = jnp.zeros((1, 3, 256, 256))
+    canon = jnp.zeros((1, 3, 512, 512))
+    depth = jnp.full((1, 1, 64, 64), 2.7)
+    pred_ext = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+    init_ext = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+    intrinsic = jnp.asarray(
+        [[[4.2647, 0, 0.5], [0, 4.2647, 0.5], [0, 0, 1]]], jnp.float32)
+
+    def warp_loss_fn(c, s):
+        loss, _ = calc_warping_loss(
+            c + s, partial(warping_features, vgg), pred_ext,
+            init_ext, intrinsic, depth, target)
+        return loss
+    wlg = jax.grad(warp_loss_fn)
+    report("calc_warping_loss fwd+bwd", chain(
+        lambda s, c: jnp.mean(wlg(c, s)) * 1e-6, canon))
+
+
+def section_stage1():
+    """Stage-1 step decomposition: which loss term / update eats the
+    371 ms."""
+    from tgi.models import TriPlaneGenerator, GeneratorConfig
+    from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                    pack_camera)
+    from tgi.invert import Projector, ProjectorConfig
+    from tgi.models.pose_resnet import resnet34_init, resnet34_apply
+    from tgi.models.vgg import (lpips_features, lpips_head_init, vgg16_init,
+                                warping_features)
+
+    key = jax.random.PRNGKey(0)
+    G = TriPlaneGenerator(GeneratorConfig(fused_dtype="bfloat16"))
+    params = G.init(key)
+    kv, kh, kp = jax.random.split(key, 3)
+    vgg = vgg16_init(kv)
+    head = lpips_head_init(kh)
+    pose = resnet34_init(kp, output_dims=4)
+    target = jnp.zeros((1, 3, 256, 256))
+
+    # pose net fwd+bwd
+    pg = jax.grad(lambda p, s: jnp.sum(resnet34_apply(p, target + s) ** 2))
+    report("pose resnet34 fwd+bwd", chain(
+        lambda s: jnp.mean(pg(pose, s)["conv1"]["weight"]) * 1e-6))
+
+    # lpips features fwd+bwd wrt image
+    lg = jax.grad(lambda img, s: jnp.sum(
+        lpips_features(vgg, head, img + s) ** 2))
+    report("vgg lpips_features 256 fwd+bwd", chain(
+        lambda s: jnp.mean(lg(target, s)) * 1e-6))
+
+    # warp features fwd+bwd
+    wg = jax.grad(lambda img, s: jnp.sum(
+        warping_features(vgg, img + s) ** 2))
+    report("vgg warping_features 256 fwd+bwd", chain(
+        lambda s: jnp.mean(wg(target, s)) * 1e-6))
+
+    # full projector loss fwd+bwd and full step
+    proj = Projector(G, params, vgg, head, pose,
+                     ProjectorConfig(w_avg_samples=256))
+    from tgi.models.vgg import lpips_features as lf
+    tfeats = lf(vgg, head, target)
+    ts, opt_states, w_std = proj.init_state(jax.random.PRNGKey(1), target)
+    grad_fn = jax.grad(proj._loss, has_aux=True)
+
+    def lossg(s, ts_):
+        g2, _ = grad_fn(ts_, target + s, tfeats, jnp.zeros_like(ts_["w"]),
+                        jax.random.PRNGKey(2))
+        return jnp.mean(g2["w"]) * 1e-6
+    report("projector _loss fwd+bwd", chain(lossg, ts, n=4))
+
+    # warping loss fwd+bwd (canonical render held fixed)
+    from tgi.losses.warp import calc_warping_loss
+    from functools import partial
+    canon = jnp.zeros((1, 3, 512, 512))
+    depth = jnp.full((1, 1, 64, 64), 2.7)
+    pred_ext = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+
+    def warp_loss_fn(c, s):
+        loss, _ = calc_warping_loss(
+            c + s, partial(warping_features, vgg), pred_ext,
+            proj.init_ext, proj.intrinsic[None], depth, target)
+        return loss
+    wlg = jax.grad(warp_loss_fn)
+    report("calc_warping_loss fwd+bwd", chain(
+        lambda s: jnp.mean(wlg(canon, s)) * 1e-6))
+
+    step = proj._make_step(target, tfeats, w_std, preheat=False)
+
+    def run_step(s, ts_, os_):
+        carry = ((ts_, os_, jax.random.PRNGKey(3)))
+        (ts2, _, _), m = step(carry,
+                              jnp.asarray(100) + s.astype(jnp.int32) * 0)
+        return jnp.mean(ts2["w"]) * 1e-6
+    report("full stage1 step", chain(run_step, ts, opt_states, n=4))
 
 
 def section_splat():
@@ -215,6 +369,31 @@ def section_splat():
         return jnp.mean(o) * 1e-6
     report(f"plane_splat mxu G={Gp} P={P} (coherent)", chain(fc, n=4))
 
+    # pack kernel: realistic block-local pattern — each 512-entry block a
+    # random ~36x36 patch (one 8x8 ray tile over 8 depth slices).
+    from tgi.ops.pallas.splat_pack import plane_splat_pack
+    rng = np.random.RandomState(0)
+    nblk = P // 512
+    by = rng.randint(0, H - 40, (Gp, nblk))
+    bx = rng.randint(0, W - 40, (Gp, nblk))
+    oy = rng.randint(0, 36, (Gp, nblk, 512))
+    ox = rng.randint(0, 36, (Gp, nblk, 512))
+    y0p = jnp.asarray((by[..., None] + oy).reshape(Gp, P), jnp.int32)
+    x0p = jnp.asarray((bx[..., None] + ox).reshape(Gp, P), jnp.int32)
+
+    def fp(s):
+        o = plane_splat_pack(y0p, x0p, w4 + s, grads, H=H, W=W)
+        return jnp.mean(o) * 1e-6
+    report(f"plane_splat pack G={Gp} P={P} (block-local)", chain(fp, n=4))
+
+    def fpr(s):
+        o = plane_splat_pack(y0, x0r, w4 + s, grads, H=H, W=W)
+        return jnp.mean(o) * 1e-6
+    report(f"plane_splat pack G={Gp} P={P} (random)", chain(fpr, n=4))
+
+    # realistic end-to-end: sample_triplanes fwd+bwd with the pack kernel
+    # is measured via section_render under TGI_SPLAT=pack.
+
 
 def section_micro():
     """Microbenchmarks for the segment-sum splat redesign."""
@@ -243,16 +422,35 @@ def section_micro():
     # one-hot segment matmul throughput: [B,Wn] onehot^T @ [B,128]
     B, Wn = 512, 128
     nblk = 4608  # 2.36M entries / 512
-    oh = jax.random.normal(key, (nblk, B, Wn), dtype=jnp.bfloat16)
-    g4 = jax.random.normal(key, (nblk, B, 128), dtype=jnp.bfloat16)
 
     def mm(s):
+        oh = jax.random.normal(jax.random.PRNGKey(1), (nblk, B, Wn),
+                               dtype=jnp.bfloat16)
+        g4 = jax.random.normal(jax.random.PRNGKey(2), (nblk, B, 128),
+                               dtype=jnp.bfloat16)
         out = jax.lax.dot_general(
-            oh, g4 + jnp.bfloat16(s),
+            oh, g4 + s.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return jnp.mean(out) * 1e-6
     report(f"batched ohT@g [{nblk}x{Wn}x{B}x128] bf16", chain(mm, n=4))
+
+    # gather variants at splat-prep scale
+    E = 786432
+    vals = jax.random.normal(key, (3, E, 32))
+    idx = jax.random.randint(key, (3, E), 0, E)
+
+    def gb(s):
+        out = jnp.take_along_axis(vals + s, idx[..., None], axis=1)
+        return jnp.mean(out) * 1e-6
+    report("take_along_axis [3,E,32]", chain(gb, n=4))
+
+    key_srt = jax.random.randint(key, (3, E), 0, 65536, dtype=jnp.int32)
+
+    def bsrt(s):
+        k = key_srt + jnp.int32(s)
+        return jnp.sum(jnp.argsort(k, axis=-1)) * 1e-9
+    report("argsort [3,E] batched", chain(bsrt, n=4))
 
 
 if __name__ == "__main__":
@@ -260,8 +458,12 @@ if __name__ == "__main__":
     ap.add_argument("--section", default="all")
     a = ap.parse_args()
     print("backend:", jax.default_backend(), jax.devices())
+    if a.section == "hot":
+        section_hot()
     if a.section in ("all", "render"):
         section_render()
+    if a.section in ("all", "stage1"):
+        section_stage1()
     if a.section in ("all", "splat"):
         section_splat()
     if a.section in ("all", "micro"):

@@ -85,3 +85,62 @@ def test_sample_triplanes_parity(rng):
                          align_corners=False)
     want = want.permute(0, 3, 2, 1).reshape(2, 3, 13, 4).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tpu_vjp_path_interpret(rng):
+    """The TPU custom-VJP route (saved corner-pair residuals + the
+    footprint-packed Pallas splat backward) matches XLA autodiff — run in
+    Pallas interpret mode so it's testable off-chip."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from tgi.ops.grid_sample import (_grid_sample_points_impl, _gsp_tpu_for)
+
+    img = jnp.asarray(rng.randn(3, 32, 32, 32).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.rand(3, 1024, 2).astype(np.float32) * 2.4 - 1.2))
+
+    def loss_ref(im, co):
+        return jnp.sum(_grid_sample_points_impl(im, co) ** 2)
+
+    fn = _gsp_tpu_for(None)
+
+    def loss_tpu(im, co):
+        return jnp.sum(fn(im, co) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fn(img, coords)
+        gi, gc = jax.grad(loss_tpu, argnums=(0, 1))(img, coords)
+    out_ref = _grid_sample_points_impl(img, coords)
+    gi_ref, gc_ref = jax.grad(loss_ref, argnums=(0, 1))(img, coords)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-5)
+    # pack kernel accumulates bf16 payloads -> fp32: ~1e-2 relative.
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_tpu_vjp_path_interpret_with_layout(rng):
+    """Same, with a (Ry, Rx, S) point-layout reorder hint active."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from tgi.ops.grid_sample import (_grid_sample_points_impl, _gsp_tpu_for)
+
+    Ry = Rx = 16
+    S = 4
+    P = Ry * Rx * S
+    img = jnp.asarray(rng.randn(3, 32, 32, 32).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.rand(3, P, 2).astype(np.float32) * 2.2 - 1.1))
+    fn = _gsp_tpu_for((Ry, Rx, S))
+
+    def loss_tpu(im):
+        return jnp.sum(fn(im, coords) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gi = jax.grad(loss_tpu)(img)
+    gi_ref = jax.grad(
+        lambda im: jnp.sum(_grid_sample_points_impl(im, coords) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref),
+                               rtol=2e-2, atol=2e-2)

@@ -12,6 +12,8 @@ kernel (``tgi.ops.pallas.splat``) via custom VJP.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -77,27 +79,37 @@ def _pair_corners(pair, x0, y, H, W, dtype):
     return v_l * l_ok, v_r * r_ok
 
 
-def _grid_sample_points_impl(img: jax.Array, coords: jax.Array) -> jax.Array:
-    N, C, H, W = img.shape
+def _point_indices(coords, H, W):
+    """(x0, y0 int32 floors, wx, wy fp fractions [..., None])."""
     g = coords.astype(jnp.float32)
     ix = _unnormalize(g[..., 0], W)
     iy = _unnormalize(g[..., 1], H)
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = (ix - x0).astype(img.dtype)[..., None]
-    wy = (iy - y0).astype(img.dtype)[..., None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    return (x0f.astype(jnp.int32), y0f.astype(jnp.int32),
+            (ix - x0f)[..., None], (iy - y0f)[..., None])
 
-    img_nhwc = jnp.transpose(img, (0, 2, 3, 1))
-    top_pair = _gather_row_pair(img_nhwc, y0, x0, H, W)
-    bot_pair = _gather_row_pair(img_nhwc, y0 + 1, x0, H, W)
-    v00, v01 = _pair_corners(top_pair, x0, y0, H, W, img.dtype)
-    v10, v11 = _pair_corners(bot_pair, x0, y0 + 1, H, W, img.dtype)
 
+def _combine_pairs(top_pair, bot_pair, coords, hw, dtype):
+    """Bilinear lerp of the two gathered row-pairs."""
+    H, W = hw
+    x0, y0, wx, wy = _point_indices(coords, H, W)
+    wx = wx.astype(dtype)
+    wy = wy.astype(dtype)
+    v00, v01 = _pair_corners(top_pair, x0, y0, H, W, dtype)
+    v10, v11 = _pair_corners(bot_pair, x0, y0 + 1, H, W, dtype)
     top = v00 + (v01 - v00) * wx
     bot = v10 + (v11 - v10) * wx
     return top + (bot - top) * wy
+
+
+def _grid_sample_points_impl(img: jax.Array, coords: jax.Array) -> jax.Array:
+    N, C, H, W = img.shape
+    x0, y0, _, _ = _point_indices(coords, H, W)
+    img_nhwc = jnp.transpose(img, (0, 2, 3, 1))
+    top_pair = _gather_row_pair(img_nhwc, y0, x0, H, W)
+    bot_pair = _gather_row_pair(img_nhwc, y0 + 1, x0, H, W)
+    return _combine_pairs(top_pair, bot_pair, coords, (H, W), img.dtype)
 
 
 def _corner_weights(x0, y0, wx, wy, H, W):
@@ -131,43 +143,53 @@ def _corner_weights(x0, y0, wx, wy, H, W):
     return y_top, y_bot, x_c, w_top, w_bot
 
 
-@jax.custom_vjp
-def _grid_sample_points_tpu(img, coords):
-    return _grid_sample_points_impl(img, coords)
+@functools.lru_cache(maxsize=None)
+def _gsp_tpu_for(point_layout):
+    """custom-VJP gather with a static (Ry, Rx, S) ray-layout hint that
+    the Pallas splat backward uses for spatially local entry blocks."""
+    @jax.custom_vjp
+    def f(img, coords):
+        return _grid_sample_points_impl(img, coords)
+
+    def fwd(img, coords):
+        # Save the gathered corner row-pairs: the backward's d_coords
+        # needs them, and re-gathering costs ~15 ms/pass on TPU vs
+        # ~0.5 ms of HBM for the residuals.
+        N, C, H, W = img.shape
+        g = coords.astype(jnp.float32)
+        x0 = jnp.floor(_unnormalize(g[..., 0], W)).astype(jnp.int32)
+        y0 = jnp.floor(_unnormalize(g[..., 1], H)).astype(jnp.int32)
+        img_nhwc = jnp.transpose(img, (0, 2, 3, 1))
+        top_pair = _gather_row_pair(img_nhwc, y0, x0, H, W)
+        bot_pair = _gather_row_pair(img_nhwc, y0 + 1, x0, H, W)
+        out = _combine_pairs(top_pair, bot_pair, coords, (H, W), img.dtype)
+        return out, (img, coords, top_pair, bot_pair)
+
+    def bwd(res, g):
+        return _gsp_bwd(res, g, point_layout)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-def _gsp_fwd(img, coords):
-    return _grid_sample_points_impl(img, coords), (img, coords)
-
-
-def _gsp_bwd(res, g):
+def _gsp_bwd(res, g, point_layout=None):
     """Backward: d_img via a Pallas splat kernel (XLA's scatter lowering
-    costs ~10 s/frame on TPU); d_coords from a re-gather of the corner
-    pairs (cheaper than saving them).
+    costs ~10 s/frame on TPU); d_coords from the corner pairs saved by
+    the forward (re-gathering them costs ~15 ms/pass).
 
-    Kernel selection: the sorted one-hot MXU kernel
-    (tgi/ops/pallas/splat_mxu.py) by default; TGI_SPLAT=v1 selects the
-    serialized-RMW v1 kernel (tgi/ops/pallas/splat.py) for comparison.
+    Kernel selection (TGI_SPLAT): 'pack' (default) = footprint-packed
+    tiled one-hot MXU matmuls (tgi/ops/pallas/splat_pack.py); 'v1' =
+    serialized-RMW kernel; 'mxu' = sorted segment-sum variant (slower —
+    kept for comparison).
     """
     import os
     from tgi.ops.pallas.splat import POINT_BLOCK, plane_splat
-    img, coords = res
+    img, coords, top_pair, bot_pair = res
     N, C, H, W = img.shape
     P = coords.shape[1]
-    gc = coords.astype(jnp.float32)
-    ix = _unnormalize(gc[..., 0], W)
-    iy = _unnormalize(gc[..., 1], H)
-    x0f = jnp.floor(ix)
-    y0f = jnp.floor(iy)
-    wx = (ix - x0f)[..., None]
-    wy = (iy - y0f)[..., None]
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
+    x0, y0, wx, wy = _point_indices(coords, H, W)
 
     # d_coords from the corner values (same formula autodiff derives).
-    img_nhwc = jnp.transpose(img, (0, 2, 3, 1))
-    top_pair = _gather_row_pair(img_nhwc, y0, x0, H, W)
-    bot_pair = _gather_row_pair(img_nhwc, y0 + 1, x0, H, W)
     v00, v01 = _pair_corners(top_pair, x0, y0, H, W, img.dtype)
     v10, v11 = _pair_corners(bot_pair, x0, y0 + 1, H, W, img.dtype)
     g32 = g.astype(jnp.float32)
@@ -176,7 +198,18 @@ def _gsp_bwd(res, g):
     d_coords = jnp.stack([dix * (W / 2.0), diy * (H / 2.0)],
                          axis=-1).astype(coords.dtype)
 
-    if os.environ.get("TGI_SPLAT", "v1") == "v1":
+    mode = os.environ.get("TGI_SPLAT", "pack")
+    if mode == "pack":
+        from tgi.ops.pallas.splat_pack import plane_splat_pack
+        wxs = wx[..., 0]
+        wys = wy[..., 0]
+        w4 = jnp.stack([(1 - wxs) * (1 - wys), wxs * (1 - wys),
+                        (1 - wxs) * wys, wxs * wys], axis=-1)
+        d_img_nhwc = plane_splat_pack(y0, x0, w4.astype(jnp.float32), g32,
+                                      H=H, W=W, point_layout=point_layout)
+        d_img = jnp.transpose(d_img_nhwc, (0, 3, 1, 2)).astype(img.dtype)
+        return d_img, d_coords
+    if mode == "v1":
         # v1: serialized-RMW kernel (pad P to its block size).
         y_top, y_bot, x_c, w_top, w_bot = _corner_weights(x0, y0, wx, wy,
                                                           H, W)
@@ -201,23 +234,65 @@ def _gsp_bwd(res, g):
     return d_img, d_coords
 
 
-_grid_sample_points_tpu.defvjp(_gsp_fwd, _gsp_bwd)
+def _grid_sample_points_dense(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """One-hot matmul formulation for SMALL grids with wide channels:
+    feats = W_sparse @ img_flat, where W holds the 4 bilinear corner
+    weights per point. Natively differentiable — the backward is the
+    transposed matmul, so no scatter appears (the warp loss's
+    [1, 256, 64, 64] VGG-feature sampling hits XLA's serialized scatter
+    otherwise). Cost: P x HW x C MACs on the MXU — only viable when HW is
+    tiny (<= ~4k cells)."""
+    N, C, H, W = img.shape
+    P = coords.shape[1]
+    g = coords.astype(jnp.float32)
+    ix = _unnormalize(g[..., 0], W)
+    iy = _unnormalize(g[..., 1], H)
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    wx = ix - x0f
+    wy = iy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    cells = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H * W), 2)
+    img_flat = img.reshape(N, C, H * W).astype(jnp.float32)
+    oh = 0.0
+    for dy, dx, w in ((0, 0, (1 - wx) * (1 - wy)), (0, 1, wx * (1 - wy)),
+                      (1, 0, (1 - wx) * wy), (1, 1, wx * wy)):
+        yy = y0 + dy
+        xx = x0 + dx
+        ok = ((yy >= 0) & (yy < H) & (xx >= 0) & (xx < W))
+        cell = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+        oh = oh + (cell[..., None] == cells) * jnp.where(ok, w, 0.0)[..., None]
+    out = jnp.einsum("nph,nch->npc", oh, img_flat)
+    return out.astype(img.dtype)
 
 
-def grid_sample_points(img: jax.Array, coords: jax.Array) -> jax.Array:
+def grid_sample_points(img: jax.Array, coords: jax.Array,
+                       point_layout=None) -> jax.Array:
     """Point-list variant: img [N, C, H, W], coords [N, P, 2] -> [N, P, C].
 
     The volumetric-render hot path (renderer.py:55-66 in the reference is
     an F.grid_sample over ~400k points/frame). Two paired-slice gathers
     (top row pair, bottom row pair) replace four per-corner gathers. On
-    TPU the backward runs the Pallas splat kernel via custom VJP; other
+    TPU the backward runs a Pallas splat kernel via custom VJP; other
     backends use plain XLA autodiff.
+
+    point_layout: optional static (Ry, Rx, S) hint — coords are a ray
+    grid Ry x Rx with S samples per ray, ray-major. The splat backward
+    reorders entries into spatially local blocks with it.
     """
     C = img.shape[1]
-    if jax.default_backend() == "tpu" and 128 % C == 0 and C <= 64:
-        # The splat kernel packs 2C lanes into 128-lane tiles; other
-        # channel counts (e.g. rgb C=3, VGG C=256) take XLA autodiff.
-        return _grid_sample_points_tpu(img, coords)
+    H, W = img.shape[2:]
+    if jax.default_backend() == "tpu":
+        if 128 % C == 0 and C <= 64:
+            # The splat kernels pack channels into 128-lane tiles; other
+            # channel counts take the routes below.
+            return _gsp_tpu_for(point_layout)(img, coords)
+        if H * W <= 4096 and C >= 64:
+            # Small grid, wide channels (warp loss VGG features): dense
+            # one-hot matmuls; autodiff stays matmul-shaped.
+            return _grid_sample_points_dense(img, coords)
     return _grid_sample_points_impl(img, coords)
 
 
@@ -237,13 +312,15 @@ def project_onto_planes(coords: jax.Array) -> jax.Array:
 
 
 def sample_triplanes(planes: jax.Array, coords: jax.Array,
-                     box_warp: float) -> jax.Array:
+                     box_warp: float, point_layout=None) -> jax.Array:
     """Sample tri-plane features at 3D points.
 
     Args:
         planes: ``[N, 3, C, H, W]`` tri-plane features.
         coords: ``[N, M, 3]`` world coordinates.
         box_warp: side length of the [-box/2, box/2] volume.
+        point_layout: optional static (Ry, Rx, S) ray-grid structure of
+            the M axis (see grid_sample_points).
 
     Returns:
         ``[N, 3, M, C]`` per-plane bilinear features (zeros outside the
@@ -255,5 +332,6 @@ def sample_triplanes(planes: jax.Array, coords: jax.Array,
     proj = project_onto_planes(coords)                     # [N, 3, M, 2]
     planes_flat = planes.reshape(N * n_planes, C, H, W)
     proj_flat = proj.reshape(N * n_planes, M, 2)
-    feats = grid_sample_points(planes_flat, proj_flat)     # [N*3, M, C]
+    feats = grid_sample_points(planes_flat, proj_flat,
+                               point_layout=point_layout)  # [N*3, M, C]
     return feats.reshape(N, n_planes, M, C)

@@ -72,7 +72,7 @@ def _make_kernel(per, C):
                                    jnp.int32(nrows - WINDOW_ROWS))
             return nxt_base, nxt < 2 ** 30
 
-        first = jnp.minimum((first_smem[0, 0] // 8) * 8,
+        first = jnp.minimum((first_smem[0, 0, 0, 0] // 8) * 8,
                             jnp.int32(nrows - WINDOW_ROWS))
         jax.lax.while_loop(lambda c: c[1], pass_body, (first, True))
 
@@ -159,14 +159,14 @@ def _plane_splat_mxu_impl(y0, x0, w4, grads, *, H, W):
 
     rows = (cell_s // per).reshape(G, nb, 1, ENTRY_BLOCK)
     slot_c = ((cell_s % per) * 1).reshape(G, Epad, 1)      # [G, E, 1]
-    first = rows[:, :, 0, 0]                               # [G, nb]
+    first = rows[:, :, 0, 0].reshape(G, nb, 1, 1)
     wg = wg.reshape(G, Epad, C)
 
     out = pl.pallas_call(
         _make_kernel(per, C),
         grid=(G, nb),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, ENTRY_BLOCK), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -22,14 +22,17 @@ from tgi.render.maths import get_ray_limits_box
 
 
 def run_model(planes, decoder_params, sample_coordinates, options,
-              density_noise_key=None):
+              density_noise_key=None, point_layout=None):
     """Tri-plane sample + decoder MLP at arbitrary 3D points.
 
     planes: [N, 3, C, H, W]; sample_coordinates: [N, M, 3].
+    point_layout: optional (Ry, Rx, S) structure of the point axis for
+    the Pallas splat backward's block ordering.
     Returns {'rgb': [N, M, 32], 'sigma': [N, M, 1]}.
     """
     feats = sample_triplanes(planes, sample_coordinates,
-                             box_warp=options["box_warp"])
+                             box_warp=options["box_warp"],
+                             point_layout=point_layout)
     # The gather may run in bf16 (plane_dtype) to halve HBM traffic; the
     # tiny decoder MLP always computes in fp32.
     feats = feats.astype(jnp.float32)
@@ -89,8 +92,10 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
     coords = (ray_origins[:, :, None, :]
               + depths_coarse * ray_directions[:, :, None, :]).reshape(N, -1, 3)
 
+    res = int(round(M ** 0.5))
+    layout = (res, res, S) if res * res == M else None
     out = run_model(planes, decoder_params, coords, options,
-                    density_noise_key=k_noise)
+                    density_noise_key=k_noise, point_layout=layout)
     colors_coarse = out["rgb"].reshape(N, M, S, -1)
     densities_coarse = out["sigma"].reshape(N, M, S, 1)
 
@@ -106,8 +111,9 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
 
         coords = (ray_origins[:, :, None, :]
                   + depths_fine * ray_directions[:, :, None, :]).reshape(N, -1, 3)
+        layout_f = (res, res, N_importance) if res * res == M else None
         out = run_model(planes, decoder_params, coords, options,
-                        density_noise_key=k_noise)
+                        density_noise_key=k_noise, point_layout=layout_f)
         colors_fine = out["rgb"].reshape(N, M, N_importance, -1)
         densities_fine = out["sigma"].reshape(N, M, N_importance, 1)
 
