@@ -62,7 +62,7 @@ def main():
     from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
                                     pack_camera)
     from tgi.invert import Projector, ProjectorConfig, PTICoach, CoachConfig
-    from tgi.losses.lpips import LPIPSLoss
+    from tgi.losses.lpips import AlexLPIPSLoss
     from tgi.models.pose_resnet import resnet34_init
     from tgi.models.vgg import lpips_head_init, vgg16_init
 
@@ -102,8 +102,8 @@ def main():
     carry = (ts, opt_states, jax.random.PRNGKey(2))
     stage1_ms = timeit(run_step, carry, warmup=2, iters=6) * 1e3
 
-    # 3) stage-2 PTI step.
-    lp = LPIPSLoss(vgg, head)
+    # 3) stage-2 PTI step (AlexNet-LPIPS, hyperparameters.py:2 parity).
+    lp = AlexLPIPSLoss(key=jax.random.PRNGKey(5))
     coach = PTICoach(G, lp, CoachConfig())
     real = jnp.zeros((1, 3, 512, 512))
     grad_fn = jax.jit(jax.grad(coach._loss, has_aux=True))

@@ -318,14 +318,68 @@ def section_stage1():
     report("calc_warping_loss fwd+bwd", chain(
         lambda s: jnp.mean(wlg(canon, s)) * 1e-6))
 
+    # True per-step cost: the projector's own scan with a REAL carry (no
+    # loop-invariant hoisting possible).
     step = proj._make_step(target, tfeats, w_std, preheat=False)
+    nsteps = 8
 
-    def run_step(s, ts_, os_):
-        carry = ((ts_, os_, jax.random.PRNGKey(3)))
-        (ts2, _, _), m = step(carry,
-                              jnp.asarray(100) + s.astype(jnp.int32) * 0)
-        return jnp.mean(ts2["w"]) * 1e-6
-    report("full stage1 step", chain(run_step, ts, opt_states, n=4))
+    @jax.jit
+    def scan_steps(ts_, os_):
+        carry = (ts_, os_, jax.random.PRNGKey(3))
+        carry, m = jax.lax.scan(step, carry, jnp.arange(60, 60 + nsteps))
+        return carry[0]["w"]
+
+    t0 = time.time()
+    jax.block_until_ready(scan_steps(ts, opt_states))
+    print(f"  (stage1 scan compile+run: {time.time() - t0:.1f}s)")
+    t0 = time.time()
+    jax.block_until_ready(scan_steps(ts, opt_states))
+    report("full stage1 step (real scan)", (time.time() - t0) / nsteps)
+
+
+def section_stage2():
+    """Stage-2 PTI step decomposition."""
+    from tgi.models import TriPlaneGenerator, GeneratorConfig
+    from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                    pack_camera)
+    from tgi.invert import PTICoach, CoachConfig
+    from tgi.losses.lpips import AlexLPIPSLoss, LPIPSLoss
+
+    key = jax.random.PRNGKey(0)
+    G = TriPlaneGenerator(GeneratorConfig(fused_dtype="bfloat16"))
+    params = G.init(key)
+    cam = look_at_pose(np.pi / 2, np.pi / 2, jnp.asarray([0., 0., 0.2]),
+                       radius=2.7)
+    c = pack_camera(cam[None], fov_to_intrinsics(18.837))
+    ws = jnp.zeros((1, G.cfg.num_ws, 512))
+    real = jnp.zeros((1, 3, 512, 512))
+
+    # synthesis fwd+bwd wrt params (the stage-2 render cost incl SR)
+    def synth_loss(p, s):
+        out = G.synthesis(p, ws + s, c, det=False, key=jax.random.PRNGKey(1))
+        return jnp.mean(out["image"] ** 2)
+    sg = jax.grad(synth_loss)
+    report("synthesis fwd+bwd(params) 512", chain(
+        lambda s, p: jnp.mean(sg(p, s)["decoder"]["net0"]["weight"]) * 1e-6,
+        params, n=4))
+
+    for name, lp in (("alex", AlexLPIPSLoss(key=key)),
+                     ("vgg", LPIPSLoss(key=key))):
+        def lp_loss(img, s):
+            return jnp.sum(lp.from_unit(img + s, real))
+        lg = jax.grad(lp_loss)
+        report(f"lpips[{name}] 512 fwd+bwd", chain(
+            lambda s, im: jnp.mean(lg(im, s)) * 1e-6, real))
+
+    # full coach loss fwd+bwd
+    lp = AlexLPIPSLoss(key=key)
+    coach = PTICoach(G, lp, CoachConfig())
+    gf = jax.grad(coach._loss, has_aux=True)
+
+    def cg(s, p):
+        g2, _ = gf(p, ws + s, c, real, jax.random.PRNGKey(2))
+        return jnp.mean(g2["decoder"]["net0"]["weight"]) * 1e-6
+    report("coach _loss fwd+bwd (full stage2 core)", chain(cg, params, n=4))
 
 
 def section_splat():
@@ -458,6 +512,8 @@ if __name__ == "__main__":
     ap.add_argument("--section", default="all")
     a = ap.parse_args()
     print("backend:", jax.default_backend(), jax.devices())
+    if a.section == "stage2":
+        section_stage2()
     if a.section == "hot":
         section_hot()
     if a.section in ("all", "render"):

@@ -165,3 +165,48 @@ def test_run_pti_cli_fails_loudly(tmp_path):
                                    "--allow-random-init",
                                    "--pose-weights", "/no/such/file.pt"])
     assert r2.exit_code != 0 and "file not found" in r2.output
+
+
+def test_visualizer_controls(tiny):
+    """Widget parity of the browser visualizer core (viz/*.py): style
+    mixing, conditioning pose, FOV, noise mode, depth mult, plane-layer
+    capture — served end-to-end over HTTP."""
+    import io as _io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+    from tgi.apps.visualizer import VisualizerState, make_handler
+
+    G, params = tiny
+    state = VisualizerState(G, params)
+
+    base = state.render(seed=0, mult=1)
+    assert base.shape[0] == 3
+    mixed = state.render(seed=0, mixseed=3, mixlayer=1, mult=1)
+    assert np.abs(base - mixed).max() > 1e-4      # mixing changes output
+    fov = state.render(seed=0, fov=30.0, mult=1)
+    assert np.abs(base - fov).max() > 1e-4        # fov changes framing
+    cond = state.render(seed=0, cyaw=0.5, mult=1)
+    assert cond.shape == base.shape
+    pl = state.render(seed=0, rtype="planes", layerch=5, mult=1)
+    assert pl.shape[0] == 3 and pl.min() >= -1 and pl.max() <= 1
+    d = state.render(seed=0, rtype="image_depth", mult=1)
+    assert d.shape[0] == 3
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/").read().decode()
+        assert "stylemix" in html and "cond yaw" in html
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?seed=1&mult=1"
+            "&mixseed=2&mixlayer=1&rtype=image").read()
+        img = Image.open(_io.BytesIO(png))
+        assert img.size == (G.cfg.img_resolution, G.cfg.img_resolution)
+    finally:
+        server.shutdown()

@@ -2,11 +2,12 @@
 imgui/OpenGL viz layer.
 
 Behavioral parity target: viz/renderer.py:125-448 + the widget panels
-(pose, truncation/noise, style mixing, render type, depth-sample
-multipliers, backbone cache — viz/*.py). The reference ships GL widgets
-with no launcher (SURVEY.md section 2.11); on a headless TPU host the
-native equivalent is an HTTP UI: sliders drive a jitted renderer, frames
-stream as PNG. Zero GL/glfw/imgui dependencies.
+(viz/*.py: latent, style-mixing, truncation+noise, pose, FOV /
+conditioning pose, render type, depth-sample multiplier, layer viewer,
+backbone cache, performance readout). The reference ships GL widgets with
+no launcher (SURVEY.md section 2.11); on a headless TPU host the native
+equivalent is an HTTP UI: sliders drive a jitted renderer, frames stream
+as PNG. Zero GL/glfw/imgui dependencies.
 
 Run:  python -m tgi.apps.visualizer --network G.pkl --port 8000
 """
@@ -27,24 +28,43 @@ import jax.numpy as jnp
 PAGE = """<!doctype html>
 <html><head><title>tgi visualizer</title><style>
 body{font-family:monospace;background:#111;color:#ddd;display:flex;gap:24px;padding:24px}
-label{display:block;margin:8px 0 2px}input[type=range]{width:260px}
+label{display:block;margin:6px 0 2px}input[type=range]{width:240px}
 img{image-rendering:pixelated;border:1px solid #333}
 select,input[type=number]{background:#222;color:#ddd;border:1px solid #444}
+fieldset{border:1px solid #333;margin-bottom:8px}
 </style></head><body>
 <div>
 <h3>tgi visualizer</h3>
+<fieldset><legend>latent</legend>
 <label>seed <input id="seed" type="number" value="0"></label>
+<label>truncation <input id="trunc" type="range" min="0" max="1" step="0.05" value="0.7"></label>
+<label>trunc cutoff <input id="cutoff" type="number" value="14" min="0" max="14"></label>
+</fieldset>
+<fieldset><legend>style mixing (viz/stylemix_widget)</legend>
+<label>mix seed <input id="mixseed" type="number" value="-1"></label>
+<label>mix from layer <input id="mixlayer" type="range" min="0" max="14" step="1" value="7"></label>
+</fieldset>
+<fieldset><legend>pose (viz/pose_widget)</legend>
 <label>yaw <input id="yaw" type="range" min="-0.8" max="0.8" step="0.02" value="0"></label>
 <label>pitch <input id="pitch" type="range" min="-0.5" max="0.5" step="0.02" value="0"></label>
-<label>truncation <input id="trunc" type="range" min="0" max="1" step="0.05" value="0.7"></label>
-<label>render <select id="rtype"><option>image</option><option>image_raw</option>
-<option>image_depth</option></select></label>
+<label>fov <input id="fov" type="range" min="12" max="45" step="0.5" value="18.837"></label>
+<label>cond yaw <input id="cyaw" type="range" min="-0.8" max="0.8" step="0.02" value="0"></label>
+<label>cond pitch <input id="cpitch" type="range" min="-0.5" max="0.5" step="0.02" value="0"></label>
+</fieldset>
+<fieldset><legend>render (viz/render_type_widget)</legend>
+<label>type <select id="rtype"><option>image</option><option>image_raw</option>
+<option>image_depth</option><option>planes</option></select></label>
+<label>plane / channel <input id="layerch" type="number" value="0" min="0" max="95"></label>
 <label>depth mult <select id="mult"><option>1</option><option selected>2</option></select></label>
+<label>noise <select id="noise"><option>const</option><option>random</option></select></label>
+</fieldset>
 <div id="stat"></div>
 </div>
 <img id="view" width="512" height="512">
 <script>
-const els = ["seed","yaw","pitch","trunc","rtype","mult"].map(id=>document.getElementById(id));
+const ids = ["seed","yaw","pitch","trunc","cutoff","rtype","mult","fov",
+             "cyaw","cpitch","mixseed","mixlayer","noise","layerch"];
+const els = ids.map(id=>document.getElementById(id));
 let busy=false, dirty=false;
 async function refresh(){
   if(busy){dirty=true;return} busy=true;
@@ -70,8 +90,14 @@ class VisualizerState:
         self._plane_cache = {}
         self._render_jit = {}
 
-    def render(self, seed=0, yaw=0.0, pitch=0.0, trunc=0.7, rtype="image",
-               mult=2):
+    def _ws(self, G, seed, trunc, cutoff, cond):
+        z = jax.random.normal(jax.random.PRNGKey(seed), (1, G.cfg.z_dim))
+        return G.mapping(self.params, z, cond, truncation_psi=trunc,
+                         truncation_cutoff=cutoff or None)
+
+    def render(self, seed=0, yaw=0.0, pitch=0.0, trunc=0.7, cutoff=14,
+               rtype="image", mult=2, fov=18.837, cyaw=0.0, cpitch=0.0,
+               mixseed=-1, mixlayer=7, noise="const", layerch=0):
         from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
                                         pack_camera)
         G = self.G
@@ -84,33 +110,54 @@ class VisualizerState:
 
         cam = look_at_pose(np.pi / 2 + yaw, np.pi / 2 + pitch,
                            jnp.asarray([0., 0., 0.2]), radius=2.7)
-        c = pack_camera(cam[None], fov_to_intrinsics(18.837))
+        c = pack_camera(cam[None], fov_to_intrinsics(fov))
 
-        ckey = (seed, round(trunc, 3))
+        # Conditioning pose (viz/pose_widget's cond-pose control).
+        cond = pack_camera(
+            look_at_pose(np.pi / 2 + cyaw, np.pi / 2 + cpitch,
+                         jnp.asarray([0., 0., 0.2]), radius=2.7)[None],
+            fov_to_intrinsics(18.837))
+
+        ckey = (seed, round(trunc, 3), int(cutoff), round(cyaw, 3),
+                round(cpitch, 3), int(mixseed), int(mixlayer))
         if ckey not in self._plane_cache:
-            z = jax.random.normal(jax.random.PRNGKey(seed), (1, G.cfg.z_dim))
-            cond = pack_camera(
-                look_at_pose(np.pi / 2, np.pi / 2, jnp.asarray([0., 0., 0.2]),
-                             radius=2.7)[None], fov_to_intrinsics(18.837))
-            ws = G.mapping(self.params, z, cond, truncation_psi=trunc,
-                           truncation_cutoff=14)
+            ws = self._ws(G, seed, trunc, cutoff, cond)
+            if mixseed >= 0:
+                # Style mixing (viz/stylemix_widget): layers >= mixlayer
+                # take the mixing seed's w.
+                ws_b = self._ws(G, int(mixseed), trunc, cutoff, cond)
+                n = ws.shape[1]
+                sel = (jnp.arange(n)[None, :, None] >= int(mixlayer))
+                ws = jnp.where(sel, ws_b, ws)
             planes = G.backbone_planes(self.params, ws)
             self._plane_cache = {ckey: (ws, planes)}   # keep last only
         ws, planes = self._plane_cache[ckey]
 
-        if mult not in self._render_jit:
+        if rtype == "planes":
+            # Layer viewer (viz/layer_widget): show one tri-plane channel.
+            p = np.asarray(planes.astype(jnp.float32))[0]  # [3, 32, H, W]
+            idx = int(layerch)
+            img = p[(idx // 32) % 3, idx % 32]
+            lo, hi = np.percentile(img, [1, 99])
+            img = np.clip((img - lo) / max(hi - lo, 1e-8), 0, 1)
+            return np.repeat(img[None], 3, axis=0) * 2 - 1
+
+        jkey = (mult, noise)
+        if jkey not in self._render_jit:
             Gm = G
 
             @jax.jit
-            def render(params, ws, c, planes):
-                return Gm.synthesis(params, ws, c, det=True, planes=planes)
+            def render(params, ws, c, planes, key):
+                return Gm.synthesis(params, ws, c, det=True, planes=planes,
+                                    noise_mode=noise, key=key)
 
-            self._render_jit[mult] = render
-        out = self._render_jit[mult](self.params, ws, c, planes)
+            self._render_jit[jkey] = render
+        out = self._render_jit[jkey](self.params, ws, c, planes,
+                                     jax.random.PRNGKey(seed))
 
         img = np.asarray(out[rtype])[0]
         if rtype == "image_depth":
-            d = (img - img.min()) / (img.ptp() + 1e-8)
+            d = (img - img.min()) / (np.ptp(img) + 1e-8)
             img = np.repeat(d, 3, axis=0) * 2 - 1
         return img
 
@@ -137,7 +184,15 @@ def make_handler(state: VisualizerState):
                 seed=int(q.get("seed", 0)), yaw=float(q.get("yaw", 0)),
                 pitch=float(q.get("pitch", 0)),
                 trunc=float(q.get("trunc", 0.7)),
-                rtype=q.get("rtype", "image"), mult=int(q.get("mult", 2)))
+                cutoff=int(q.get("cutoff", 14)),
+                rtype=q.get("rtype", "image"), mult=int(q.get("mult", 2)),
+                fov=float(q.get("fov", 18.837)),
+                cyaw=float(q.get("cyaw", 0)),
+                cpitch=float(q.get("cpitch", 0)),
+                mixseed=int(q.get("mixseed", -1)),
+                mixlayer=int(q.get("mixlayer", 7)),
+                noise=q.get("noise", "const"),
+                layerch=int(q.get("layerch", 0)))
             from tgi.utils.image import to_uint8
             from PIL import Image
             buf = io.BytesIO()

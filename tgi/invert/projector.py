@@ -238,19 +238,23 @@ class Projector:
         ws = jnp.tile(train_state["w"] + w_noise, (1, num_ws, 1))
         gen_params = merge_noise(self.base_params, train_state["noise"])
 
-        pred = G.synthesis(gen_params, ws, pred_cam, noise_mode="const",
-                           det=False, key=k_pred, force_fp32=True)
-        pred_depth = pred["image_depth"]
-        pred_images_255 = pred["image"] * 127.5 + 128
+        # Predicted + canonical views in ONE batched render (N=2): the
+        # marcher/importance fixed costs amortize and the tri-plane
+        # gathers pipeline across both views. The canonical half uses the
+        # DETACHED latent (w_projector.py:203-205) — pose/noise still
+        # receive gradient through it, matching the reference's separate
+        # call.
+        ws_both = jnp.concatenate([ws, jax.lax.stop_gradient(ws)], axis=0)
+        cams = jnp.concatenate([pred_cam, self.canonical_cam], axis=0)
+        out = G.synthesis(gen_params, ws_both, cams, noise_mode="const",
+                          det=False, key=k_pred, force_fp32=True)
+        pred_depth = out["image_depth"][:1]
+        pred_images_255 = out["image"][:1] * 127.5 + 128
+        canon_image = out["image"][1:]
 
-        # Canonical view for the warping loss; latent detached
-        # (w_projector.py:203-205) — pose/noise still receive gradient.
-        canon = G.synthesis(gen_params, jax.lax.stop_gradient(ws),
-                            self.canonical_cam, noise_mode="const",
-                            det=False, key=k_canon, force_fp32=True)
         vgg_fn = partial(warping_features, self.vgg_params)
         warp_loss, _ = calc_warping_loss(
-            canon["image"], vgg_fn, pred_ext, self.init_ext,
+            canon_image, vgg_fn, pred_ext, self.init_ext,
             self.intrinsic[None], pred_depth, target_255)
 
         # LPIPS feature distance at <=256 (w_projector.py:215-218).
