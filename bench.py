@@ -83,13 +83,24 @@ def main():
 
     render_ms = timeit_chained(render_scalar, n=10) * 1e3
 
-    # 2) stage-1 projection step.
+    # bf16 render LPIPS-neutrality: the projector/coach render in the
+    # generator's native bf16 on TPU (reference forces fp32 as a CUDA
+    # fp16-stability guard, w_projector.py:189); check the outputs are
+    # perceptually identical before benchmarking the bf16 path.
+    from tgi.losses.lpips import AlexLPIPSLoss
+    lp_check = AlexLPIPSLoss(key=jax.random.PRNGKey(7))
+    img16 = jax.jit(lambda: G.synthesis(params, ws, c, det=True)["image"])()
+    img32 = jax.jit(lambda: G.synthesis(params, ws, c, det=True,
+                                        force_fp32=True)["image"])()
+    bf16_lpips = float(lp_check.from_unit(img16, img32)[0])
+
+    # 2) stage-1 projection step (bf16 renders).
     kv, kh, kp = jax.random.split(key, 3)
     vgg = vgg16_init(kv)
     head = lpips_head_init(kh)
     pose = resnet34_init(kp, output_dims=4)
     proj = Projector(G, params, vgg, head, pose,
-                     ProjectorConfig(w_avg_samples=512))
+                     ProjectorConfig(w_avg_samples=512, render_fp32=False))
     target = jnp.zeros((1, 3, 256, 256))
     from tgi.models.vgg import lpips_features
     tfeats = lpips_features(vgg, head, target)
@@ -118,14 +129,14 @@ def main():
                      + STAGE2_STEPS * stage2_ms) / 1e3
 
     print(json.dumps({
-        "metric": "PTI inversion sec/image (w+pose, 500 steps); "
-                  "512² render ms/frame",
+        "metric": "PTI inversion sec/image (w+pose, 400+400 steps)",
         "value": round(sec_per_image, 2),
         "unit": "s/image",
         "vs_baseline": round(REFERENCE_SEC_PER_IMAGE / sec_per_image, 2),
         "render_ms_per_frame_512": round(render_ms, 2),
         "stage1_step_ms": round(stage1_ms, 2),
         "stage2_step_ms": round(stage2_ms, 2),
+        "bf16_render_lpips_vs_fp32": round(bf16_lpips, 4),
         "device": str(dev),
     }))
 

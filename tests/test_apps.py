@@ -210,3 +210,32 @@ def test_visualizer_controls(tiny):
         assert img.size == (G.cfg.img_resolution, G.cfg.img_resolution)
     finally:
         server.shutdown()
+
+
+def test_align_data_cli(tmp_path):
+    """align_data CLI end-to-end with a landmark sidecar
+    (utils/align_data.py parity, detector supplied offline)."""
+    import json as _json
+
+    from click.testing import CliRunner
+    from PIL import Image
+    from tgi.apps.align_data import main
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    arr = (np.random.RandomState(0).rand(512, 512, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(src / "a.png")
+    lm = np.zeros((68, 2), np.float64)
+    lm[36:42] = [200, 220]
+    lm[42:48] = [312, 220]
+    lm[48:60] = [256, 330]
+    lm[48] = [210, 330]
+    lm[54] = [302, 330]
+    (tmp_path / "lm.json").write_text(_json.dumps({"a.png": lm.tolist()}))
+    r = CliRunner().invoke(main, ["--src", str(src),
+                                  "--dst", str(tmp_path / "out"),
+                                  "--landmarks", str(tmp_path / "lm.json"),
+                                  "--size", "128"])
+    assert r.exit_code == 0, r.output
+    out = Image.open(tmp_path / "out" / "a.png")
+    assert out.size == (128, 128)

@@ -117,8 +117,9 @@ def test_tpu_vjp_path_interpret(rng):
     # pack kernel accumulates bf16 payloads -> fp32: ~1e-2 relative.
     np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref),
                                rtol=2e-2, atol=2e-2)
+    # d_coords uses bf16-saved corner pairs (~0.4% relative).
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_tpu_vjp_path_interpret_with_layout(rng):

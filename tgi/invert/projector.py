@@ -62,6 +62,17 @@ class ProjectorConfig:
     regularize_noise_weight: float = 1e5
     truncation_psi: float = 0.7
     truncation_cutoff: int = 14
+    # The reference forces fp32 renders during projection
+    # (w_projector.py:189, a CUDA fp16-stability guard). bf16 is the
+    # native TPU precision; render_fp32=False lets the generator's
+    # fused_dtype apply. Reconstruction quality is LPIPS-neutral (bench
+    # check); default keeps bit-level reference behavior.
+    render_fp32: bool = True
+    # Rematerialize the render in the backward pass (jax.checkpoint):
+    # trades ~one extra forward for dropping all render residuals —
+    # needed for batched multi-image inversion where B x two-view
+    # residuals exceed single-chip HBM.
+    remat_render: bool = False
 
     @property
     def cam_lr(self):
@@ -246,8 +257,14 @@ class Projector:
         # call.
         ws_both = jnp.concatenate([ws, jax.lax.stop_gradient(ws)], axis=0)
         cams = jnp.concatenate([pred_cam, self.canonical_cam], axis=0)
-        out = G.synthesis(gen_params, ws_both, cams, noise_mode="const",
-                          det=False, key=k_pred, force_fp32=True)
+
+        def render(p, w, c, k):
+            return G.synthesis(p, w, c, noise_mode="const", det=False,
+                               key=k, force_fp32=cfg.render_fp32)
+
+        if cfg.remat_render:
+            render = jax.checkpoint(render)
+        out = render(gen_params, ws_both, cams, k_pred)
         pred_depth = out["image_depth"][:1]
         pred_images_255 = out["image"][:1] * 127.5 + 128
         canon_image = out["image"][1:]

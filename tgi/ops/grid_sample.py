@@ -154,7 +154,9 @@ def _gsp_tpu_for(point_layout):
     def fwd(img, coords):
         # Save the gathered corner row-pairs: the backward's d_coords
         # needs them, and re-gathering costs ~15 ms/pass on TPU vs
-        # ~0.5 ms of HBM for the residuals.
+        # ~0.5 ms of HBM for the residuals. Saved in full precision:
+        # d_coords takes DIFFERENCES of neighboring corners, where bf16
+        # rounding cancels catastrophically (verified by test).
         N, C, H, W = img.shape
         g = coords.astype(jnp.float32)
         x0 = jnp.floor(_unnormalize(g[..., 0], W)).astype(jnp.int32)
