@@ -239,3 +239,18 @@ def test_align_data_cli(tmp_path):
     assert r.exit_code == 0, r.output
     out = Image.open(tmp_path / "out" / "a.png")
     assert out.size == (128, 128)
+
+
+def test_render_orbit_shape_export(tiny, tmp_path):
+    """Per-frame shape export in the video path (gen_videos.py:139-177)."""
+    from tgi.apps.gen_videos import render_orbit
+    G, params = tiny
+    w = jnp.zeros((1, G.cfg.num_ws, 32))
+    frames = render_orbit(G, params, w, num_frames=2, batch=2,
+                          sample_mult=1, shapes_dir=str(tmp_path / "sh"),
+                          shape_res=24)
+    assert frames.shape[0] == 2
+    plys = sorted(os.listdir(tmp_path / "sh"))
+    assert plys == ["0000_shape.ply", "0001_shape.ply"]
+    head = (tmp_path / "sh" / "0000_shape.ply").read_bytes()[:200]
+    assert head.startswith(b"ply")

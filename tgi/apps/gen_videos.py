@@ -48,11 +48,39 @@ def interp_ws(ws_keyframes: np.ndarray, num_frames: int,
     return spline(t).astype(np.float32)
 
 
+def export_frame_shape(G, params, w, out_ply, resolution=128, level=10.0):
+    """Per-frame shape export (gen_videos.py:139-177): sigma grid with
+    the reference's border zeroing and axis flip, then a .ply at
+    level=10 via marching tetrahedra."""
+    from tgi.apps.shape import sigma_grid
+    from tgi.utils.marching import marching_tetrahedra, save_ply
+
+    grid = sigma_grid(G, params, w, resolution=resolution)
+    grid = np.flip(np.asarray(grid), 0).copy()
+    pad = int(30 * resolution / 256)
+    pad_top = int(38 * resolution / 256)
+    if pad:
+        grid[:pad] = 0
+        grid[-pad:] = 0
+        grid[:, :pad] = 0
+        grid[:, :, :pad] = 0
+        grid[:, :, -pad:] = 0
+    if pad_top:
+        grid[:, -pad_top:] = 0
+    verts, faces = marching_tetrahedra(grid, level=level,
+                                       spacing=1.0 / resolution)
+    save_ply(out_ply, verts, faces)
+    return out_ply
+
+
 def render_orbit(G, params, ws, *, num_frames=240, batch=8, radius=2.7,
-                 pivot=(0, 0, 0.2), sample_mult=2, key=None):
+                 pivot=(0, 0, 0.2), sample_mult=2, key=None,
+                 shapes_dir=None, shape_res=128):
     """Render the orbit; returns uint8 frames [T, H, W, 3].
 
     sample_mult scales depth sampling as gen_videos.py:288-289 does.
+    shapes_dir: when set, also export '<frame:04d>_shape.ply' per frame
+    (gen_videos.py:139-177's gen_shapes path).
     """
     rk = G.cfg.rendering_kwargs
     G = type(G)(G.cfg.with_rendering(
@@ -84,6 +112,14 @@ def render_orbit(G, params, ws, *, num_frames=240, batch=8, radius=2.7,
                             cams[i:i + batch])
         frames.extend(to_uint8(np.asarray(imgs[j]))
                       for j in range(imgs.shape[0]))
+    if shapes_dir is not None:
+        import os
+        os.makedirs(shapes_dir, exist_ok=True)
+        for f in range(num_frames):
+            export_frame_shape(
+                G, params, ws_frames[f:f + 1],
+                os.path.join(shapes_dir, f"{f:04d}_shape.ply"),
+                resolution=shape_res)
     return np.stack(frames[:num_frames])
 
 
@@ -118,7 +154,11 @@ def main():
     @click.option("--frames", default=240)
     @click.option("--sample-mult", default=2)
     @click.option("--trunc", default=0.7)
-    def cli(network, seeds, ws_path, output, frames, sample_mult, trunc):
+    @click.option("--shapes/--no-shapes", default=False,
+                  help="per-frame .ply export (gen_videos.py:139-177)")
+    @click.option("--shape-res", default=128)
+    def cli(network, seeds, ws_path, output, frames, sample_mult, trunc,
+            shapes, shape_res):
         import jax
         from tgi.apps.run_pti import load_any_generator, parse_range
         from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
@@ -137,8 +177,13 @@ def main():
                             for s in parse_range(seeds)])
             ws = G.mapping(params, zs, jnp.tile(cond, (zs.shape[0], 1)),
                            truncation_psi=trunc, truncation_cutoff=14)
-        out = gen_interp_video(G, params, ws, output, num_frames=frames,
-                               sample_mult=sample_mult)
+        import os
+        out = gen_interp_video(
+            G, params, ws, output, num_frames=frames,
+            sample_mult=sample_mult,
+            shapes_dir=(os.path.splitext(output)[0] + "_shapes"
+                        if shapes else None),
+            shape_res=shape_res)
         click.echo(f"wrote {out}")
 
     cli()
