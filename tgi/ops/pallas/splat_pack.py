@@ -110,6 +110,30 @@ def fold_expanded(d_exp, H, W, C):
     return out
 
 
+def corner_slots(y0, x0, H, W):
+    """Per-corner slot mapping relative to the CLIPPED anchor.
+
+    Returns (y0c, x0c, slots [G, P, 4] int32 in 0..3, valid [G, P, 4]):
+    corner k (tl, tr, bl, br order) of the true footprint lives at slot
+    ``slots[..., k]`` of the expanded cell (y0c, x0c) when valid; only
+    the y0 = -1 / x0 = -1 borders remap (clip shifts the anchor)."""
+    y0c = jnp.clip(y0, 0, H - 1)
+    x0c = jnp.clip(x0, 0, W - 1)
+    dys = (0, 0, 1, 1)
+    dxs = (0, 1, 0, 1)
+    slots = []
+    valids = []
+    for k in range(4):
+        ry = y0 + dys[k]
+        rx = x0 + dxs[k]
+        valids.append((ry >= 0) & (ry < H) & (rx >= 0) & (rx < W))
+        sdy = jnp.clip(ry - y0c, 0, 1)
+        sdx = jnp.clip(rx - x0c, 0, 1)
+        slots.append(sdy * 2 + sdx)
+    return (y0c, x0c, jnp.stack(slots, axis=-1),
+            jnp.stack(valids, axis=-1))
+
+
 def pack_footprint(y0, x0, w4, H, W):
     """Clip the footprint anchor into the plane and remap corner weights
     to their slots relative to the clipped anchor.
@@ -119,25 +143,11 @@ def pack_footprint(y0, x0, w4, H, W):
     corners carry zero weight; corners that fall on a different slot
     after clipping (only possible at the y=-1 / x=-1 borders) are moved.
     """
-    y0c = jnp.clip(y0, 0, H - 1)
-    x0c = jnp.clip(x0, 0, W - 1)
-    dys = (0, 0, 1, 1)
-    dxs = (0, 1, 0, 1)
-    slots = []
-    for k in range(4):
-        ry = y0 + dys[k]
-        rx = x0 + dxs[k]
-        valid = ((ry >= 0) & (ry < H) & (rx >= 0) & (rx < W))
-        w = jnp.where(valid, w4[..., k], 0.0)
-        sdy = jnp.clip(ry - y0c, 0, 1)
-        sdx = jnp.clip(rx - x0c, 0, 1)
-        slots.append((w, sdy * 2 + sdx))
+    y0c, x0c, slots, valid = corner_slots(y0, x0, H, W)
+    w4 = jnp.where(valid, w4, 0.0)
     w_out = []
     for s in range(4):
-        acc = 0.0
-        for w, sl in slots:
-            acc = acc + jnp.where(sl == s, w, 0.0)
-        w_out.append(acc)
+        w_out.append(jnp.sum(jnp.where(slots == s, w4, 0.0), axis=-1))
     w4s = jnp.stack(w_out, axis=-1)
     return _tiled_cell(y0c, x0c, W), w4s
 
