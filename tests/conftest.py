@@ -36,3 +36,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full suite JITs hundreds of CPU executables in one process;
+    XLA-CPU eventually segfaults inside backend_compile (observed twice
+    at ~75 min / ~130 tests, on a trivial slice op). Dropping compiled
+    executables at module boundaries keeps the process healthy; the
+    on-disk persistent cache still avoids expensive recompiles."""
+    yield
+    jax.clear_caches()

@@ -20,12 +20,13 @@ scatter so the accumulation happens on the MXU:
      block that spans more, so the kernel is correct for ANY entry order
      and merely fastest for sorted input.
 
-Cost at the flagship render shape (per plane: P=196k points, E=786k
-entries, 256^2 x 32ch planes): ~6.5e9 MACs of fp32 MXU plus ~100 MB of
-HBM streaming — ~0.5 ms versus ~35 ms for the serialized-RMW kernel.
-
-Used as the custom-VJP backward of tgi.ops.grid_sample.grid_sample_points
-on TPU (the hot path of reference renderer.py:64); CPU keeps XLA autodiff.
+MEASURED OUTCOME (v5e, G=3, P=196k): 130+ ms — 4x WORSE than the
+serialized-RMW v1 kernel (32 ms). The prep dominates: jnp.argsort is
+8-11 ms nearly independent of size (pass-count bound) and the sorted
+payload gather [786k, 32] another ~7 ms. Kept as a reference design and
+selectable via TGI_SPLAT=mxu; the production kernel is
+tgi.ops.pallas.splat_pack (sort-free footprint packing, ~12 ms
+in-context). See PERF.md.
 """
 
 from __future__ import annotations
