@@ -158,6 +158,44 @@ def test_tf_pickle_rejected_and_nondict_guard():
         load_network_pkl(pickle.dumps([1, 2]))
 
 
+def test_torch_free_tensor_deserialization():
+    """Pickled torch tensors deserialize through the torch-free stand-ins
+    (_safe_load_from_bytes parses the legacy storage stream itself; the
+    real torch.storage._load_from_bytes would hand attacker bytes to an
+    unrestricted nested torch.load — ADVICE r2 high)."""
+    import io as _io
+    import pickle
+
+    import torch
+
+    from tgi.io.pickle_import import ReferenceUnpickler, _TORCH_STANDINS
+
+    # The unrestricted hook must NOT be reachable.
+    hook = _TORCH_STANDINS[("torch.storage", "_load_from_bytes")]
+    assert hook.__module__ == "tgi.io.pickle_import"
+    tensors = {
+        "f32": torch.randn(3, 5),
+        "f16": torch.randn(4, 2).half(),
+        "bf16": torch.randn(2, 7).bfloat16(),
+        "i64": torch.arange(10),
+        "u8": torch.arange(6, dtype=torch.uint8).reshape(2, 3),
+        "bool": torch.tensor([True, False, True]),
+        "view": torch.randn(4, 6).t(),      # non-contiguous strides
+        "slice": torch.randn(10)[2:7],      # nonzero storage offset
+        "param": torch.nn.Parameter(torch.randn(2, 2)),
+    }
+    blob = pickle.dumps(tensors)
+    out = ReferenceUnpickler(_io.BytesIO(blob)).load()
+    for k, t in tensors.items():
+        want = t.detach().float().numpy() if t.dtype == torch.bfloat16 \
+            else t.detach().numpy()
+        got = np.asarray(out[k])
+        if k == "bf16":
+            got = got.astype(np.float32)
+        assert isinstance(out[k], np.ndarray), k
+        assert got.shape == want.shape and np.array_equal(got, want), k
+
+
 def test_force_fp16_config_rewrite(tmp_path):
     """load_generator(force_fp16=True) mirrors legacy.py:48-60's kwargs
     rewrite as a config switch."""

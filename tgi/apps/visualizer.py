@@ -92,8 +92,10 @@ class VisualizerState:
 
     def _ws(self, G, seed, trunc, cutoff, cond):
         z = jax.random.normal(jax.random.PRNGKey(seed), (1, G.cfg.z_dim))
+        # cutoff=0 means "truncate no layers" (x[:, :0] is a no-op slice),
+        # NOT the all-layers None path — pass the integer through.
         return G.mapping(self.params, z, cond, truncation_psi=trunc,
-                         truncation_cutoff=cutoff or None)
+                         truncation_cutoff=int(cutoff))
 
     def render(self, seed=0, yaw=0.0, pitch=0.0, trunc=0.7, cutoff=14,
                rtype="image", mult=2, fov=18.837, cyaw=0.0, cpitch=0.0,

@@ -370,7 +370,7 @@ class Projector:
                 snapshot_fn(b, carry[0], target_255)
             cat = lambda ms: jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs), *ms)
-            metrics_a = cat(chunks_a)
+            metrics_a = cat(chunks_a) if chunks_a else None
             metrics_b = cat(chunks_b) if chunks_b else None
         train_state, opt_states, _ = carry
 
@@ -380,8 +380,13 @@ class Projector:
             pose_out, train_state["translation"], cfg.camera_mode,
             cfg.radius, self.intrinsic.reshape(9))
         ws = jnp.tile(train_state["w"], (1, self.G.cfg.num_ws, 1))
-        metrics = metrics_a if metrics_b is None else jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b]), metrics_a, metrics_b)
+        if metrics_a is None:
+            metrics = metrics_b
+        elif metrics_b is None:
+            metrics = metrics_a
+        else:
+            metrics = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), metrics_a, metrics_b)
         return ws, pred_cam, train_state, metrics
 
     # -- batched inversion ----------------------------------------------

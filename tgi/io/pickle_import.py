@@ -7,8 +7,12 @@ The reference pickles carry *source code* next to the weights
 embedded code would drag in the whole CUDA-centric reference runtime, so
 this loader never runs it: a custom Unpickler intercepts the reconstruct
 hook and captures ``state`` (the nn.Module ``__dict__`` with _parameters /
-_buffers / _modules) into lightweight nodes. Tensors deserialize through
-torch-CPU; everything is exported as numpy.
+_buffers / _modules) into lightweight nodes. Tensor deserialization is
+fully torch-free: the legacy storage payloads that torch embeds via
+``torch.storage._load_from_bytes`` are re-parsed here by a restricted
+reader (``_safe_load_from_bytes``) — calling the real torch hook would
+hand attacker-controlled bytes to an unrestricted nested ``torch.load``,
+defeating the allowlist. Everything is exported as numpy.
 
 The name map to tgi params is a pure rename — tgi layer pytrees were
 designed to mirror the reference state_dict (SURVEY.md section 7 step 2).
@@ -18,6 +22,7 @@ from __future__ import annotations
 
 import io
 import pickle
+import struct
 from typing import Any
 
 import numpy as np
@@ -90,16 +95,154 @@ def _make_stub(module, name):
     return type(name, (StubModule,), {"_source": f"{module}.{name}"})
 
 
+# ---------------------------------------------------------------------------
+# Torch-free tensor deserialization.
+#
+# Plain-pickled torch tensors reduce to
+# ``torch._utils._rebuild_tensor_v2(storage, offset, size, stride, ...)``
+# where ``storage`` itself reduces to
+# ``torch.storage._load_from_bytes(b)`` with ``b`` a complete *legacy*
+# (non-zipfile) torch.save stream (TypedStorage.__reduce__ passes
+# _use_new_zipfile_serialization=False). The real _load_from_bytes calls
+# an unrestricted ``torch.load`` on those bytes — a crafted pickle could
+# REDUCE it with attacker bytes and reach arbitrary code execution. The
+# stand-ins below re-parse that stream with the same restricted policy
+# instead, so no torch code runs during unpickling at all.
+
+
+def _np_bfloat16():
+    import ml_dtypes  # jax dependency, always present
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype(np.float32),
+    "DoubleStorage": np.dtype(np.float64),
+    "HalfStorage": np.dtype(np.float16),
+    "LongStorage": np.dtype(np.int64),
+    "IntStorage": np.dtype(np.int32),
+    "ShortStorage": np.dtype(np.int16),
+    "CharStorage": np.dtype(np.int8),
+    "ByteStorage": np.dtype(np.uint8),
+    "BoolStorage": np.dtype(np.bool_),
+}
+
+
+class _StorageType:
+    """Marker for a torch storage class GLOBAL inside the legacy stream."""
+
+    def __init__(self, name):
+        self.name = name
+
+    @property
+    def np_dtype(self):
+        if self.name == "BFloat16Storage":
+            return _np_bfloat16()
+        return _STORAGE_DTYPES[self.name]
+
+
+class _Storage:
+    """Deserialized storage: a flat numpy array."""
+
+    def __init__(self, np_dtype, numel):
+        self.np_dtype = np_dtype
+        self.numel = numel
+        self.array = None  # filled when the raw data section is read
+
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
+class _LegacyStreamUnpickler(pickle.Unpickler):
+    """Restricted unpickler for the pickles inside a legacy torch.save
+    stream (magic/protocol/sysinfo/object/keys). Only storage-class
+    globals and OrderedDict resolve; persistent ids allocate storages."""
+
+    def __init__(self, f, storages):
+        super().__init__(f)
+        self._storages = storages
+
+    def find_class(self, module, name):
+        if module in ("torch", "torch.storage") and (
+                name in _STORAGE_DTYPES or name == "BFloat16Storage"):
+            return _StorageType(name)
+        if (module, name) == ("collections", "OrderedDict"):
+            import collections
+
+            return collections.OrderedDict
+        return _make_stub(module, name)
+
+    def persistent_load(self, pid):
+        # ('storage', storage_type, root_key, location, numel[, view_meta])
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise pickle.UnpicklingError(f"unsupported persistent id {pid!r}")
+        storage_type, root_key, _location, numel = pid[1:5]
+        if root_key not in self._storages:
+            self._storages[root_key] = _Storage(storage_type.np_dtype, numel)
+        return self._storages[root_key]
+
+
+def _safe_load_from_bytes(b):
+    """Parse a legacy torch.save stream into a _Storage (torch-free).
+
+    Format (torch/serialization.py _legacy_save): four pickles — magic
+    number, protocol version, sys info, the object — then a pickle of the
+    serialized storage keys, then per key: int64 numel + raw data.
+    """
+    f = io.BytesIO(bytes(b))
+    storages: dict = {}
+
+    def load_one():
+        return _LegacyStreamUnpickler(f, storages).load()
+
+    magic = load_one()
+    if magic != _LEGACY_MAGIC:
+        raise pickle.UnpicklingError(
+            "embedded storage payload is not a legacy torch.save stream")
+    load_one()  # protocol version
+    load_one()  # sys info
+    obj = load_one()
+    keys = load_one()
+    for key in keys:
+        st = storages[key]
+        (numel,) = struct.unpack("<q", f.read(8))
+        nbytes = numel * st.np_dtype.itemsize
+        raw = f.read(nbytes)
+        if len(raw) != nbytes:
+            raise pickle.UnpicklingError("truncated storage data section")
+        st.array = np.frombuffer(raw, dtype=st.np_dtype)
+    return obj
+
+
+def _safe_rebuild_tensor_v2(storage, storage_offset, size, stride, *args):
+    """torch._utils._rebuild_tensor_v2 stand-in -> numpy array (copied
+    out of the storage buffer; strides are in elements)."""
+    base = storage.array
+    itemsize = base.dtype.itemsize
+    arr = np.ndarray(
+        shape=tuple(size), dtype=base.dtype, buffer=base,
+        offset=storage_offset * itemsize,
+        strides=tuple(s * itemsize for s in stride))
+    return np.ascontiguousarray(arr)
+
+
+def _safe_rebuild_tensor(storage, storage_offset, size, stride):
+    return _safe_rebuild_tensor_v2(storage, storage_offset, size, stride)
+
+
+def _safe_rebuild_parameter(data, requires_grad=True, backward_hooks=None):
+    return data
+
+
 # Exact (module, name) pairs required to deserialize tensors/arrays. A
 # broader prefix allowlist (e.g. all of 'builtins' or 'torch*') would let
 # a crafted pickle reach exec/eval or the untrusted torch_utils package
-# via REDUCE — everything outside this set becomes an inert stub.
+# via REDUCE — everything outside this set becomes an inert stub. Torch
+# hooks never resolve to torch itself: they map to the torch-free
+# stand-ins above.
 _SAFE_CLASSES = {
     ("collections", "OrderedDict"),
-    ("torch._utils", "_rebuild_tensor"),
-    ("torch._utils", "_rebuild_tensor_v2"),
-    ("torch._utils", "_rebuild_parameter"),
-    ("torch.storage", "_load_from_bytes"),
     ("numpy", "ndarray"),
     ("numpy", "dtype"),
     ("numpy.core.multiarray", "_reconstruct"),
@@ -108,13 +251,12 @@ _SAFE_CLASSES = {
     ("numpy._core.multiarray", "scalar"),
     ("_codecs", "encode"),
 }
-_SAFE_TORCH_NAMES = {
-    "Size", "device",
-    "FloatStorage", "HalfStorage", "BFloat16Storage", "DoubleStorage",
-    "IntStorage", "LongStorage", "ShortStorage", "CharStorage",
-    "ByteStorage", "BoolStorage",
-    "float32", "float16", "bfloat16", "float64", "int32", "int64",
-    "int16", "int8", "uint8", "bool",
+_TORCH_STANDINS = {
+    ("torch._utils", "_rebuild_tensor"): _safe_rebuild_tensor,
+    ("torch._utils", "_rebuild_tensor_v2"): _safe_rebuild_tensor_v2,
+    ("torch._utils", "_rebuild_parameter"): _safe_rebuild_parameter,
+    ("torch.storage", "_load_from_bytes"): _safe_load_from_bytes,
+    ("torch", "Size"): tuple,
 }
 
 
@@ -135,8 +277,9 @@ class ReferenceUnpickler(pickle.Unpickler):
             return _TFNetworkStub
         if (module, name) == ("dnnlib", "EasyDict") or name == "EasyDict":
             return _EasyDict
-        if (module, name) in _SAFE_CLASSES or \
-                (module == "torch" and name in _SAFE_TORCH_NAMES):
+        if (module, name) in _TORCH_STANDINS:
+            return _TORCH_STANDINS[(module, name)]
+        if (module, name) in _SAFE_CLASSES:
             return super().find_class(module, name)
         # Anything else (reference package code, builtins, torch_utils…):
         # a permissive stub that preserves state without importing or

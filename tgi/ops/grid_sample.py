@@ -186,11 +186,37 @@ def _gsp_tpu_for(point_layout):
         # re-gathering costs ~15 ms/pass). Full precision: d_coords
         # takes corner DIFFERENCES, where bf16 rounding cancels
         # catastrophically (verified by test).
+        #
+        # TGI_GATHER routes the row fetch: 'vmem' (default) keeps the
+        # fp32 expanded plane resident in VMEM and reads one row/point
+        # through a Pallas kernel (4.9 vs 7.7 ms/pass through XLA's
+        # gather engine at the flagship shape — scripts/
+        # bench_gather_vmem.py); 'xla' is take_along_axis. The MXU
+        # one-hot tile-walk variant measured 10.3 ms and was dropped.
+        import os
         N, C, H, W = img.shape
         x0, y0, wx, wy = _point_indices(coords, H, W)
-        exp = _expand_footprint(img)
         y0c, x0c, slots, valid = corner_slots(y0, x0, H, W)
         cell = y0c * W + x0c
+        if os.environ.get("TGI_GATHER", "vmem") == "vmem" and 4 * C in (
+                64, 128):
+            from tgi.ops.pallas.gather_vmem import gather_rows_vmem
+            # fp32 plane rows: Mosaic rejects bf16 single-row dynamic
+            # reads, and the fp32 loop beats the bf16 bitcast variant
+            # anyway (4.9 vs 6.9 ms); the upcast also gives exact fp32
+            # residuals for d_coords.
+            exp = _expand_footprint(img.astype(jnp.float32))
+            fetched = gather_rows_vmem(exp, cell)
+            f4 = fetched.reshape(N, -1, 4, C)
+            v00, v01, v10, v11 = _corner_values(f4, slots, valid,
+                                                jnp.float32)
+            wx32 = wx.astype(jnp.float32)
+            wy32 = wy.astype(jnp.float32)
+            top = v00 + (v01 - v00) * wx32
+            bot = v10 + (v11 - v10) * wx32
+            out = (top + (bot - top) * wy32).astype(img.dtype)
+            return out, (img, coords, (v00, v01, v10, v11))
+        exp = _expand_footprint(img)
         fetched = jnp.take_along_axis(exp, cell[..., None], axis=1)
         f4 = fetched.reshape(N, -1, 4, C)
         v00, v01, v10, v11 = _corner_values(f4, slots, valid, img.dtype)
@@ -235,6 +261,12 @@ def _gsp_bwd(res, g, point_layout=None):
                          axis=-1).astype(coords.dtype)
 
     mode = os.environ.get("TGI_SPLAT", "pack")
+    if mode == "pack" and not (4 * C == 128 and H % 16 == 0 and W % 16 == 0):
+        # splat_pack packs 4 corner slots x C channels into exactly 128
+        # lanes and tiles cells 16x16; other shapes (e.g. C=16 test
+        # planes) take the serialized-RMW kernel, which handles any
+        # C <= 64.
+        mode = "v1"
     if mode == "pack":
         from tgi.ops.pallas.splat_pack import plane_splat_pack
         wxs = wx[..., 0]
