@@ -104,6 +104,57 @@ def test_e4e_parity(rng):
     np.testing.assert_allclose(w0, want[:, 0], rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_psp_checkpoint_ingestion():
+    """convert_psp_checkpoint accepts every published e4e artifact layout
+    (psp.py:31-40 full dump; scripts/run_pti.py:33-49 DataParallel dump;
+    bare encoder state_dict) and rejects wrong files loudly."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.e4e.encoders.psp_encoders import Encoder4Editing
+    from tgi.models.e4e import convert_psp_checkpoint
+    torch.manual_seed(5)
+    net = Encoder4Editing(50, "ir_se").eval()
+    enc_sd = _to_np_sd(net)
+    avg = np.random.RandomState(0).randn(18, 512).astype(np.float32)
+
+    # (a) official e4e full dump: state_dict with encoder./decoder.
+    # prefixes + top-level latent_avg.
+    full = {"state_dict": {f"encoder.{k}": v for k, v in enc_sd.items()},
+            "latent_avg": avg, "opts": {"device": "cuda"}}
+    full["state_dict"]["decoder.style.1.weight"] = np.zeros((512, 512),
+                                                            np.float32)
+    p_full, got_avg = convert_psp_checkpoint(full)
+    np.testing.assert_array_equal(np.asarray(got_avg), avg)
+
+    # (b) the reference's own initializer: DataParallel(pSp2) state_dict.
+    dp = {f"module.encoder.{k}": v for k, v in enc_sd.items()}
+    p_dp, avg_dp = convert_psp_checkpoint(dp)
+    assert avg_dp is None
+
+    # (c) bare Encoder4Editing.state_dict().
+    p_bare, _ = convert_psp_checkpoint(dict(enc_sd))
+
+    flat = lambda t: jax.tree_util.tree_leaves(t)
+    for a, b in zip(flat(p_full), flat(p_dp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(flat(p_full), flat(p_bare)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Wrong checkpoint (a pose-resnet layout) must fail with a diff,
+    # not mis-nest silently.
+    with pytest.raises(ValueError, match="expected parameter layout"):
+        convert_psp_checkpoint(
+            {"conv1.weight": np.zeros((64, 3, 7, 7), np.float32)})
+    # Truncated encoder dump (missing leaves) must fail too.
+    broken = dict(enc_sd)
+    for k in list(broken):
+        if k.startswith("styles.9"):
+            del broken[k]
+    with pytest.raises(ValueError, match="missing"):
+        convert_psp_checkpoint(broken)
+
+
 def _torch_lpips_alex():
     """Minimal torch replica of ``lpips.LPIPS(net='alex')`` (the package is
     not in the image): torchvision-layout alexnet.features trunk, scaling

@@ -196,6 +196,34 @@ def test_torch_free_tensor_deserialization():
         assert got.shape == want.shape and np.array_equal(got, want), k
 
 
+def test_validate_tree():
+    """Structural checkpoint validation: exact match passes; missing /
+    unexpected / shape-mismatched leaves raise with the diff."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from tgi.io.validate import expected_spec, tree_spec, validate_tree
+
+    good = {"a": {"w": np.zeros((3, 4)), "b": np.zeros((4,))},
+            "c": np.ones((2,))}
+    spec = tree_spec(good)
+    assert spec == {"a.w": (3, 4), "a.b": (4,), "c": (2,)}
+    assert validate_tree(good, good, "m") is good
+
+    with pytest.raises(ValueError, match="missing"):
+        validate_tree({"a": {"w": np.zeros((3, 4))}}, good, "m")
+    with pytest.raises(ValueError, match="unexpected"):
+        validate_tree({**good, "extra": np.zeros(1)}, good, "m")
+    with pytest.raises(ValueError, match="shape mismatches"):
+        validate_tree({**good, "c": np.ones((5,))}, good, "m")
+
+    def init(key):
+        return {"w": jnp.zeros((2, 2), jnp.float32)}
+
+    assert expected_spec(init, jax.random.PRNGKey(0)) == {"w": (2, 2)}
+
+
 def test_force_fp16_config_rewrite(tmp_path):
     """load_generator(force_fp16=True) mirrors legacy.py:48-60's kwargs
     rewrite as a config switch."""

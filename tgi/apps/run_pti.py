@@ -73,7 +73,8 @@ def list_images(directory):
 
 
 def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
-            lpips_head, e4e_params=None, arcface_params=None,
+            lpips_head, e4e_params=None, e4e_latent_avg=None,
+            arcface_params=None,
             alex_params=None, alex_head=None, lpips_type="alex",
             use_locality_reg=False, camera_mode="quat", first_inv_steps=400,
             max_pti_steps=400, gen_video=True, gen_mesh=False,
@@ -89,7 +90,17 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
     e4e_encode = None
     if e4e_params is not None:
         from tgi.models.e4e import e4e_encode_w0
-        e4e_encode = lambda img: e4e_encode_w0(e4e_params, img)  # noqa: E731
+        # Official e4e ckpts predict offsets from their latent_avg; the
+        # reference's own initializer carries none and its raw output is
+        # the absolute start_w (w_projector.py:100).
+        avg0 = None
+        if e4e_latent_avg is not None:
+            avg0 = (e4e_latent_avg[0] if e4e_latent_avg.ndim == 2
+                    else e4e_latent_avg)
+
+        def e4e_encode(img, _avg=avg0):
+            w0 = e4e_encode_w0(e4e_params, img)
+            return w0 if _avg is None else w0 + _avg[None]
 
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      ProjectorConfig(num_steps=first_inv_steps,
@@ -273,18 +284,26 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
     G, gen_params = load_any_generator(network)
     key = jax.random.PRNGKey(0)
 
+    from tgi.io.validate import expected_spec, validate_tree
+
     dims = {"2d": 2, "quat": 4, "6d": 6}[camera_mode]
     if require(pose_weights, "--pose-weights"):
-        pose_params = convert_torch_state_dict(
-            load_torch_state_dict(pose_weights))
+        pose_params = validate_tree(
+            convert_torch_state_dict(load_torch_state_dict(pose_weights)),
+            expected_spec(resnet34_init, key, output_dims=dims),
+            "pose estimator")
     else:
         click.echo("WARNING: random-init pose estimator (no --pose-weights)")
         pose_params = resnet34_init(key, output_dims=dims)
 
     if require(vgg_weights, "--vgg-weights"):
         sd = load_torch_state_dict(vgg_weights)
-        vgg_params = convert_torch_features(sd)
-        lpips_head = convert_lpips_head(sd) or lpips_head_init(key)
+        vgg_params = validate_tree(convert_torch_features(sd),
+                                   expected_spec(vgg16_init, key), "vgg16")
+        head = convert_lpips_head(sd)
+        lpips_head = validate_tree(
+            head, expected_spec(lpips_head_init, key),
+            "lpips-vgg head") if head else lpips_head_init(key)
     else:
         click.echo("WARNING: random-init VGG/LPIPS (no --vgg-weights)")
         vgg_params = vgg16_init(key)
@@ -295,25 +314,43 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
         if require(lpips_weights, "--lpips-weights"):
             alex_params, alex_head = convert_lpips_alex(
                 load_torch_state_dict(lpips_weights))
+            validate_tree(alex_params, expected_spec(alexnet_init, key),
+                          "alexnet trunk")
+            validate_tree(alex_head, expected_spec(alex_head_init, key),
+                          "lpips-alex head")
         else:
             click.echo("WARNING: random-init alex-LPIPS "
                        "(no --lpips-weights)")
             alex_params = alexnet_init(key)
             alex_head = alex_head_init(key)
 
-    e4e_params = None
+    e4e_params = e4e_latent_avg = None
     if e4e_weights:
-        from tgi.models.pose_resnet import convert_torch_state_dict as conv
-        e4e_params = conv(load_torch_state_dict(e4e_weights))
+        import torch
+
+        from tgi.models.e4e import convert_psp_checkpoint
+        # Raw load (not load_torch_state_dict): convert_psp_checkpoint
+        # needs the full ckpt to pick up 'latent_avg' next to
+        # 'state_dict' (psp.py:31-40) and handles prefix stripping +
+        # structural validation itself.
+        ckpt = torch.load(e4e_weights, map_location="cpu",
+                          weights_only=False)
+        if hasattr(ckpt, "state_dict"):
+            ckpt = ckpt.state_dict()
+        e4e_params, e4e_latent_avg = convert_psp_checkpoint(ckpt)
 
     arc = None
     if arcface_weights:
+        from tgi.models.arcface import arcface_init
         from tgi.models.arcface import convert_torch_state_dict as conv_arc
-        arc = conv_arc(load_torch_state_dict(arcface_weights))
+        arc = validate_tree(
+            conv_arc(load_torch_state_dict(arcface_weights)),
+            expected_spec(arcface_init, key), "arcface")
 
     run_pti(image_dir, out_dir, G=G, gen_params=gen_params,
             pose_params=pose_params, vgg_params=vgg_params,
             lpips_head=lpips_head, e4e_params=e4e_params,
+            e4e_latent_avg=e4e_latent_avg,
             arcface_params=arc, alex_params=alex_params,
             alex_head=alex_head, lpips_type=lpips_type,
             use_locality_reg=use_locality_reg, camera_mode=camera_mode,

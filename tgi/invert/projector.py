@@ -205,7 +205,12 @@ class Projector:
         w_avg, w_std = self.compute_w_stats(k_stats)
         start_w = w_avg
         if self.e4e_encode is not None:
-            start_w = w_avg + self.e4e_encode(target_255)[:, None, :]
+            # The encoder output IS the starting latent, not a delta on
+            # w_avg (w_projector.py:100: start_w = e4e_enc(...)); when
+            # the checkpoint carries a latent_avg the e4e_encode closure
+            # has already folded it in (official e4e ckpts are trained
+            # as offsets from latent_avg).
+            start_w = self.e4e_encode(target_255)[:, None, :]
 
         # Re-randomize noise buffers (w_projector.py:126-131).
         noise = {}

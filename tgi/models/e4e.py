@@ -121,6 +121,57 @@ def e4e_apply(params, x, num_layers=50, progressive_stage=STYLE_COUNT):
     return w
 
 
+def convert_psp_checkpoint(ckpt: dict, validate: bool = True):
+    """Port a published e4e/pSp checkpoint -> (params, latent_avg).
+
+    Handles the real artifact layouts:
+
+    * the reference's own initializer: ``DataParallel(pSp2)`` state_dict
+      (scripts/run_pti.py:33-49) — keys ``module.encoder.*``;
+    * the official e4e-repo full dump (psp.py:31-40): weights nested
+      under ``state_dict`` with ``encoder.`` / ``decoder.`` prefixes
+      plus a top-level ``latent_avg`` tensor — only the ``encoder.``
+      subtree (psp.py:36) and ``latent_avg`` are loaded;
+    * a bare ``Encoder4Editing.state_dict()`` dump (no prefixes).
+
+    ``decoder.`` (a rosinality SG2 the pipeline never calls) and
+    ``opts`` are ignored. The converted tree is structurally validated
+    against ``e4e_init`` (keys + shapes) so a wrong file fails loudly
+    instead of mis-nesting.
+    """
+    import numpy as np
+
+    from tgi.io.validate import expected_spec, validate_tree
+
+    latent_avg = None
+    if "latent_avg" in ckpt:
+        latent_avg = jnp.asarray(np.asarray(ckpt["latent_avg"]),
+                                 jnp.float32)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+    has_prefix = any(k.startswith("encoder.") for k in sd)
+    params: dict = {}
+    for name, v in sd.items():
+        if has_prefix:
+            if not name.startswith("encoder."):
+                continue            # decoder.* / face_pool / opts etc.
+            name = name[len("encoder."):]
+        elif name.startswith("decoder.") or "." not in name:
+            continue
+        if "num_batches_tracked" in name or "progressive_stage" in name:
+            continue
+        parts = name.split(".")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(v), jnp.float32)
+    if validate:
+        validate_tree(params, expected_spec(e4e_init, jax.random.PRNGKey(0)),
+                      "e4e encoder")
+    return params, latent_avg
+
+
 def e4e_encode_w0(params, x, num_layers=50):
     """pSp2.forward equivalent: only the first style code (psp.py:64)."""
     _, taps = trunk_apply(params, x, num_layers=num_layers, se=True,
