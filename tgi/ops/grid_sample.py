@@ -176,16 +176,10 @@ def _gsp_tpu_for(point_layout):
     the Pallas splat backward uses for spatially local entry blocks."""
     from tgi.ops.pallas.splat_pack import corner_slots
 
-    @jax.custom_vjp
-    def f(img, coords):
-        return _grid_sample_points_impl(img, coords)
-
-    def fwd(img, coords):
-        # Footprint-expanded single-fetch gather; the fetched corner
-        # values are saved as VJP residuals (d_coords needs them, and
-        # re-gathering costs ~15 ms/pass). Full precision: d_coords
-        # takes corner DIFFERENCES, where bf16 rounding cancels
-        # catastrophically (verified by test).
+    def gather_corners(img, coords):
+        # Footprint-expanded single-fetch gather. Full precision: the
+        # backward's d_coords takes corner DIFFERENCES, where bf16
+        # rounding cancels catastrophically (verified by test).
         #
         # TGI_GATHER routes the row fetch: 'vmem' (default) keeps the
         # fp32 expanded plane resident in VMEM and reads one row/point
@@ -207,25 +201,30 @@ def _gsp_tpu_for(point_layout):
             # residuals for d_coords.
             exp = _expand_footprint(img.astype(jnp.float32))
             fetched = gather_rows_vmem(exp, cell)
-            f4 = fetched.reshape(N, -1, 4, C)
-            v00, v01, v10, v11 = _corner_values(f4, slots, valid,
-                                                jnp.float32)
-            wx32 = wx.astype(jnp.float32)
-            wy32 = wy.astype(jnp.float32)
-            top = v00 + (v01 - v00) * wx32
-            bot = v10 + (v11 - v10) * wx32
-            out = (top + (bot - top) * wy32).astype(img.dtype)
-            return out, (img, coords, (v00, v01, v10, v11))
-        exp = _expand_footprint(img)
-        fetched = jnp.take_along_axis(exp, cell[..., None], axis=1)
+        else:
+            exp = _expand_footprint(img.astype(jnp.float32))
+            fetched = jnp.take_along_axis(exp, cell[..., None], axis=1)
         f4 = fetched.reshape(N, -1, 4, C)
-        v00, v01, v10, v11 = _corner_values(f4, slots, valid, img.dtype)
-        wx = wx.astype(img.dtype)
-        wy = wy.astype(img.dtype)
-        top = v00 + (v01 - v00) * wx
-        bot = v10 + (v11 - v10) * wx
-        out = top + (bot - top) * wy
-        return out, (img, coords, (v00, v01, v10, v11))
+        v00, v01, v10, v11 = _corner_values(f4, slots, valid, jnp.float32)
+        wx32 = wx.astype(jnp.float32)
+        wy32 = wy.astype(jnp.float32)
+        top = v00 + (v01 - v00) * wx32
+        bot = v10 + (v11 - v10) * wx32
+        out = (top + (bot - top) * wy32).astype(img.dtype)
+        return out, (v00, v01, v10, v11)
+
+    @jax.custom_vjp
+    def f(img, coords):
+        # Primal (forward-only renders, e.g. the gen_videos loop) takes
+        # the same fast gather as the VJP forward.
+        out, _ = gather_corners(img, coords)
+        return out
+
+    def fwd(img, coords):
+        # The fetched corner values are saved as VJP residuals
+        # (d_coords needs them; re-gathering costs ~15 ms/pass).
+        out, corners = gather_corners(img, coords)
+        return out, (img, coords, corners)
 
     def bwd(res, g):
         return _gsp_bwd(res, g, point_layout)
