@@ -24,9 +24,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the inversion-loop scan bodies are large
 # XLA programs (~10 min cold compile on the single CPU core); cache them
-# across test runs.
-os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# across test runs. The cache lives IN the repo (committed), so a fresh
+# checkout on the same container image runs the suite warm (~15 min)
+# instead of cold (45+ min) — /root/.cache does not survive across
+# review environments. Override with TGI_JAX_CACHE.
+_cache = os.environ.get(
+    "TGI_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_test_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import numpy as np  # noqa: E402

@@ -208,6 +208,19 @@ def test_visualizer_controls(tiny):
             "&mixseed=2&mixlayer=1&rtype=image").read()
         img = Image.open(_io.BytesIO(png))
         assert img.size == (G.cfg.img_resolution, G.cfg.img_resolution)
+        # Performance readout (viz/performance_widget): server-side
+        # rolling render timings.
+        import json as _json
+        stats = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats").read())
+        assert stats["frames"] >= 7 and stats["avg_ms"] > 0
+        # Capture widget (viz/capture_widget): save-png endpoint.
+        cap = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/capture?seed=1&mult=1").read())
+        import os as _os
+        assert _os.path.exists(cap["path"])
+        Image.open(cap["path"])
+        _os.remove(cap["path"])
     finally:
         server.shutdown()
 

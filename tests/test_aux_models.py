@@ -64,8 +64,11 @@ def test_vgg16_warping_features_parity(rng):
           for k, v in net.state_dict().items()}
     params = convert_torch_features(sd)
     x = rng.rand(1, 3, 64, 64).astype(np.float32) * 255
+    # get_features('14') textually returns the conv14 output, but the
+    # inplace stage ReLU at index 15 mutates it before return — the
+    # BEHAVIOR is net[:16] (through ReLU15). See warping_features.
     with torch.no_grad():
-        want = net[:16](torch.as_tensor(x)).numpy()  # through ReLU idx 15
+        want = net[:16](torch.as_tensor(x)).numpy()
     got = np.asarray(warping_features(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 

@@ -91,6 +91,51 @@ def test_projection_loss_decreases(setup):
     assert dist[-1] < dist[2] * 1.001, dist  # joint phase reduces distance
 
 
+def test_self_inversion_quality_gate(setup):
+    """Scaled-down closed-loop inversion (60+60 steps, tiny G): the real
+    Projector -> PTICoach path on a G-generated target with known
+    (w*, cam*). Full-budget numbers come from bench.py on the chip;
+    this validates the harness and directions of improvement."""
+    from tgi.invert import self_inversion_eval
+    from tgi.losses.lpips import LPIPSLoss
+
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    out = self_inversion_eval(
+        setup["G"], setup["gen"], key=jax.random.PRNGKey(11),
+        vgg_params=setup["vgg"], lpips_head=setup["head"],
+        pose_params=setup["pose"], lpips_loss=lp,
+        first_inv_steps=60, max_pti_steps=60, w_avg_samples=32)
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
+    # Stage-1 made progress on its own loss.
+    assert out["stage1_final_loss"] < out["stage1_first_loss"]
+    # Stage-2 tuning must not make the reconstruction worse.
+    assert out["final_mse"] <= out["pivot_mse"] * 1.05
+    assert out["pti_steps"] <= 60
+
+
+def test_pti_early_stop_engages(setup):
+    """The on-device 0.06 early stop (single_id_coach.py:69-73): tuning
+    toward a target the generator already reproduces exactly must stop
+    at step 0 (LPIPS checked BEFORE the first update)."""
+    from tests.test_generator import camera_batch
+    from tgi.losses.lpips import LPIPSLoss
+
+    G, gen = setup["G"], setup["gen"]
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=50))
+    ws = jnp.zeros((1, G.cfg.num_ws, G.cfg.w_dim))
+    cam = camera_batch(1)
+    target = G.synthesis(gen, ws, cam, det=True)["image"]
+    tuned, info = coach.tune(jax.random.PRNGKey(3), gen, ws, cam, target)
+    assert int(info["steps"]) == 0, info
+    assert float(info["final_lpips"]) <= 0.06
+    # Params untouched.
+    np.testing.assert_array_equal(
+        np.asarray(tuned["decoder"]["net0"]["weight"]),
+        np.asarray(gen["decoder"]["net0"]["weight"]))
+
+
 @pytest.mark.slow
 def test_batched_projection(setup):
     """vmapped multi-image inversion: per-image state, shared generator.

@@ -152,7 +152,8 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
                 snapshot_fn = make_projection_snapshotter(proj, out_dir,
                                                           name, tb=tb)
             ws, cam, state, metrics = proj.project(
-                k_proj, target_255, snapshot_fn=snapshot_fn)
+                k_proj, target_255, snapshot_fn=snapshot_fn,
+                target_full=img)
             if tb is not None:
                 losses = np.asarray(metrics["loss"])
                 for s, v in enumerate(losses):

@@ -58,7 +58,12 @@ fieldset{border:1px solid #333;margin-bottom:8px}
 <label>depth mult <select id="mult"><option>1</option><option selected>2</option></select></label>
 <label>noise <select id="noise"><option>const</option><option>random</option></select></label>
 </fieldset>
-<div id="stat"></div>
+<fieldset><legend>capture (viz/capture_widget)</legend>
+<button id="capture">save png</button> <span id="saved"></span>
+</fieldset>
+<fieldset><legend>performance (viz/performance_widget)</legend>
+<div id="stat"></div><div id="srvstat"></div>
+</fieldset>
 </div>
 <img id="view" width="512" height="512">
 <script>
@@ -66,16 +71,29 @@ const ids = ["seed","yaw","pitch","trunc","cutoff","rtype","mult","fov",
              "cyaw","cpitch","mixseed","mixlayer","noise","layerch"];
 const els = ids.map(id=>document.getElementById(id));
 let busy=false, dirty=false;
+function params(){
+  const q = new URLSearchParams();
+  els.forEach(e=>q.set(e.id,e.value));
+  return q;
+}
 async function refresh(){
   if(busy){dirty=true;return} busy=true;
-  const q = new URLSearchParams(); const t0=performance.now();
-  els.forEach(e=>q.set(e.id,e.value));
+  const q = params(); const t0=performance.now();
   const r = await fetch("/render?"+q); const b = await r.blob();
   document.getElementById("view").src = URL.createObjectURL(b);
   document.getElementById("stat").textContent =
-      (performance.now()-t0).toFixed(0)+" ms";
+      "round trip "+(performance.now()-t0).toFixed(0)+" ms";
+  const s = await (await fetch("/stats")).json();
+  document.getElementById("srvstat").textContent =
+      "server render last "+s.last_ms.toFixed(1)+" ms / avg "
+      +s.avg_ms.toFixed(1)+" ms ("+s.fps.toFixed(1)+" fps, "
+      +s.frames+" frames)";
   busy=false; if(dirty){dirty=false;refresh()}
 }
+document.getElementById("capture").onclick = async ()=>{
+  const r = await (await fetch("/capture?"+params())).json();
+  document.getElementById("saved").textContent = r.path;
+};
 els.forEach(e=>e.addEventListener("input",refresh)); refresh();
 </script></body></html>"""
 
@@ -84,11 +102,41 @@ class VisualizerState:
     """Render core with plane caching (viz/renderer.py backbone-cache
     widget) and per-config jit reuse."""
 
-    def __init__(self, G, params):
+    def __init__(self, G, params, capture_dir="_screenshots"):
+        import collections
         self.G = G
         self.params = params
+        self.capture_dir = capture_dir
         self._plane_cache = {}
         self._render_jit = {}
+        # Performance readout (viz/performance_widget.py): rolling
+        # server-side render wall-clock over the last 20 frames.
+        self._times = collections.deque(maxlen=20)
+        self._frames = 0
+
+    def stats(self):
+        times = list(self._times)
+        avg = (sum(times) / len(times)) if times else 0.0
+        return {"last_ms": times[-1] * 1e3 if times else 0.0,
+                "avg_ms": avg * 1e3,
+                "fps": (1.0 / avg) if avg > 0 else 0.0,
+                "frames": self._frames}
+
+    def capture(self, **kwargs):
+        """Save the current render as PNG (viz/capture_widget.py)."""
+        import os
+        import time
+
+        from PIL import Image
+
+        from tgi.utils.image import to_uint8
+        img = self.render(**kwargs)
+        os.makedirs(self.capture_dir, exist_ok=True)
+        path = os.path.join(self.capture_dir,
+                            f"capture_{time.strftime('%Y%m%d_%H%M%S')}_"
+                            f"{self._frames:05d}.png")
+        Image.fromarray(to_uint8(img), "RGB").save(path)
+        return path
 
     def _ws(self, G, seed, trunc, cutoff, cond):
         z = jax.random.normal(jax.random.PRNGKey(seed), (1, G.cfg.z_dim))
@@ -100,6 +148,17 @@ class VisualizerState:
     def render(self, seed=0, yaw=0.0, pitch=0.0, trunc=0.7, cutoff=14,
                rtype="image", mult=2, fov=18.837, cyaw=0.0, cpitch=0.0,
                mixseed=-1, mixlayer=7, noise="const", layerch=0):
+        import time
+        t0 = time.perf_counter()
+        out = self._render(seed, yaw, pitch, trunc, cutoff, rtype, mult,
+                           fov, cyaw, cpitch, mixseed, mixlayer, noise,
+                           layerch)
+        self._times.append(time.perf_counter() - t0)
+        self._frames += 1
+        return out
+
+    def _render(self, seed, yaw, pitch, trunc, cutoff, rtype, mult, fov,
+                cyaw, cpitch, mixseed, mixlayer, noise, layerch):
         from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
                                         pack_camera)
         G = self.G
@@ -177,12 +236,18 @@ def make_handler(state: VisualizerState):
                 self.end_headers()
                 self.wfile.write(PAGE.encode())
                 return
-            if url.path != "/render":
+            if url.path == "/stats":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(state.stats()).encode())
+                return
+            if url.path not in ("/render", "/capture"):
                 self.send_response(404)
                 self.end_headers()
                 return
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
-            img = state.render(
+            kwargs = dict(
                 seed=int(q.get("seed", 0)), yaw=float(q.get("yaw", 0)),
                 pitch=float(q.get("pitch", 0)),
                 trunc=float(q.get("trunc", 0.7)),
@@ -195,6 +260,14 @@ def make_handler(state: VisualizerState):
                 mixlayer=int(q.get("mixlayer", 7)),
                 noise=q.get("noise", "const"),
                 layerch=int(q.get("layerch", 0)))
+            if url.path == "/capture":
+                path = state.capture(**kwargs)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"path": path}).encode())
+                return
+            img = state.render(**kwargs)
             from tgi.utils.image import to_uint8
             from PIL import Image
             buf = io.BytesIO()

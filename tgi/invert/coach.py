@@ -111,9 +111,18 @@ class PTICoach:
             step, params, opt_state, key, _ = carry
             key, k = jax.random.split(key)
             grads, aux = grad_fn(params, w_pivot, camera, real_images, k)
-            updates, opt_state = self.opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return step + 1, params, opt_state, key, aux["lpips"]
+            updates, new_opt = self.opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # The reference checks the threshold BEFORE stepping
+            # (single_id_coach.py:69-73: break precedes optimizer.step),
+            # so the update only lands when this step's LPIPS is above
+            # it; `step` counts applied updates.
+            go = aux["lpips"] > cfg.lpips_threshold
+            sel = lambda a, b: jnp.where(go, b, a)
+            params = jax.tree_util.tree_map(sel, params, new_params)
+            opt_state = jax.tree_util.tree_map(sel, opt_state, new_opt)
+            return step + go.astype(jnp.int32), params, opt_state, key, \
+                aux["lpips"]
 
         carry = (jnp.asarray(0), params, opt_state, key, jnp.asarray(jnp.inf))
         step, params, opt_state, key, lp = jax.lax.while_loop(

@@ -246,8 +246,12 @@ class Projector:
     # -- loss ---------------------------------------------------------------
 
     def _loss(self, train_state, target_255, target_lpips_feats, w_noise,
-              key):
+              key, target_warp=None):
         cfg = self.cfg
+        if target_warp is None:
+            # Fallback for callers without the full-res target: the same
+            # 256-res target in [-1, 1].
+            target_warp = target_255 / 127.5 - 1.0
         G = self.G
         num_ws = G.cfg.num_ws
         k_pred, k_canon = jax.random.split(key)
@@ -288,21 +292,26 @@ class Projector:
             pred_images_255 = pred["image"] * 127.5 + 128
             canon_image = canon["image"]
 
+        # Both warp-feature inputs are [-1, 1] (the reference feeds the
+        # raw target and the raw canonical render, warping_loss.py:37-38
+        # + w_projector.py:109) — NOT the 0-255 lpips/pose scaling.
         vgg_fn = partial(warping_features, self.vgg_params)
         warp_loss, _ = calc_warping_loss(
             canon_image, vgg_fn, pred_ext, self.init_ext,
-            self.intrinsic[None], pred_depth, target_255)
+            self.intrinsic[None], pred_depth, target_warp)
 
-        # LPIPS feature distance at <=256 (w_projector.py:215-218).
-        if pred_images_255.shape[-1] > 256:
-            pred_images_255 = area_downsample(pred_images_255, 256)
-        elif pred_images_255.shape[-1] < 256:
-            # Tiny test configs render below 256; upsample to match the
-            # target feature grid (no reference counterpart — SR output is
-            # always >= 256 there).
+        # LPIPS feature distance at the target's resolution
+        # (w_projector.py:215-218: pred is area-shrunk to the 256 target).
+        t_res = target_255.shape[-1]
+        if pred_images_255.shape[-1] > t_res:
+            pred_images_255 = area_downsample(pred_images_255, t_res)
+        elif pred_images_255.shape[-1] < t_res:
+            # Tiny test configs render below the target res; upsample to
+            # match the target feature grid (no reference counterpart —
+            # SR output always >= 256 there).
             n, c = pred_images_255.shape[:2]
             pred_images_255 = jax.image.resize(
-                pred_images_255, (n, c, 256, 256), method="linear")
+                pred_images_255, (n, c, t_res, t_res), method="linear")
         synth_feats = lpips_features(self.vgg_params, self.lpips_head,
                                      pred_images_255)
         dist = jnp.sum(jnp.square(target_lpips_feats - synth_feats))
@@ -315,17 +324,18 @@ class Projector:
     # -- stepping -----------------------------------------------------------
 
     def _make_step(self, target_255, target_lpips_feats, w_std,
-                   preheat: bool):
+                   preheat: bool, target_warp=None):
         """Single-image step: the batched step with its target bound."""
         step = self._make_step_batched(w_std, preheat)
 
         def bound(carry, step_idx):
-            return step(carry, step_idx, target_255, target_lpips_feats)
+            return step(carry, step_idx, target_255, target_lpips_feats,
+                        target_warp)
 
         return bound
 
     def project(self, key, target_255, num_steps=None, snapshot_fn=None,
-                snapshot_every=10):
+                snapshot_every=10, target_full=None):
         """Run the full two-phase projection.
 
         ``snapshot_fn(step, train_state, target_255)`` — when given, the
@@ -334,12 +344,18 @@ class Projector:
         see tgi.utils.opt_viz.make_projection_snapshotter). The hot loop
         stays fused on device; only chunk boundaries sync to host.
 
+        ``target_full``: optional [1, 3, R, R] target in [-1, 1] at full
+        resolution for the warp loss (the reference feeds the raw target,
+        w_projector.py:109); defaults to the 256-res target rescaled.
+
         Returns (ws [1, num_ws, D], camera [1, 25], final_state, metrics).
         """
         cfg = self.cfg
         num_steps = num_steps or cfg.num_steps
         k_init, k_loop = jax.random.split(key)
         target_255 = jnp.asarray(target_255, jnp.float32)
+        target_warp = None if target_full is None else \
+            jnp.asarray(target_full, jnp.float32)
         target_feats = lpips_features(self.vgg_params, self.lpips_head,
                                       target_255)
 
@@ -347,9 +363,9 @@ class Projector:
 
         preheat_steps = min(cfg.cam_preheat_steps, num_steps)
         step_a = self._make_step(target_255, target_feats, w_std,
-                                 preheat=True)
+                                 preheat=True, target_warp=target_warp)
         step_b = self._make_step(target_255, target_feats, w_std,
-                                 preheat=False)
+                                 preheat=False, target_warp=target_warp)
 
         carry = (train_state, opt_states, k_loop)
         if snapshot_fn is None:
@@ -472,7 +488,8 @@ class Projector:
         opts = self._optimizers()
         grad_fn = jax.grad(self._loss, has_aux=True)
 
-        def step(carry, step_idx, target_255, target_feats):
+        def step(carry, step_idx, target_255, target_feats,
+                 target_warp=None):
             train_state, opt_states, key = carry
             key, k_loss, k_wnoise = jax.random.split(key, 3)
 
@@ -490,7 +507,7 @@ class Projector:
                        jax.random.normal(k_wnoise, train_state["w"].shape)
                        * w_noise_scale)
             grads, aux = grad_fn(train_state, target_255, target_feats,
-                                 w_noise, k_loss)
+                                 w_noise, k_loss, target_warp)
 
             cam_updates, cam_state = opts["cam"].update(
                 grads["pose"], opt_states["cam"], train_state["pose"])

@@ -42,7 +42,7 @@ def line_plane_collision(plane_normal, plane_point, ray_direction, ray_point,
 
 
 def calc_warping_loss(canonical_image, vgg_feature_fn, pred_ext, init_ext,
-                      intrinsic, depth, target_images_255):
+                      intrinsic, depth, target_images):
     """Warping loss between the predicted-pose view and the canonical view.
 
     Args:
@@ -55,7 +55,11 @@ def calc_warping_loss(canonical_image, vgg_feature_fn, pred_ext, init_ext,
         init_ext: [1, 4, 4] canonical extrinsics.
         intrinsic: [1, 3, 3].
         depth: [1, 1, res, res] predicted-view depth map.
-        target_images_255: [1, 3, 256, 256] target in [0, 255].
+        target_images: [1, 3, R', R'] target in [-1, 1] at FULL
+            resolution — the reference feeds the raw target tensor
+            (w_projector.py:109 target.contiguous(), same [-1, 1] scale
+            as the canonical render; its feature grid sets the loss
+            resolution, warping_loss.py:49-55).
 
     Returns:
         (loss, warped_image) — scalar masked-L1 feature loss and the
@@ -89,7 +93,7 @@ def calc_warping_loss(canonical_image, vgg_feature_fn, pred_ext, init_ext,
     ones = jnp.ones((intersections.shape[0], 1), intersections.dtype)
     intersections1 = jnp.concatenate([intersections, ones], axis=-1).T
 
-    target_features = vgg_feature_fn(target_images_255)
+    target_features = vgg_feature_fn(target_images)
     synth_features = vgg_feature_fn(can_images)
 
     # World -> canonical camera -> normalized uv (warping_loss.py:39-43).

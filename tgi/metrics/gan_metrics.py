@@ -193,53 +193,18 @@ def is50k(gen_probs=None, num_splits=10, **_):
     return {"is_mean": mean, "is_std": std}
 
 
-def _psnr(a, b):
-    mse = np.mean(np.square(np.asarray(a) - np.asarray(b)))
-    return float(10 * np.log10(4.0 / max(mse, 1e-12)))  # range [-1,1]
-
-
 def equivariance_metrics(G3, params, *, num_samples=64, batch=8, key=None,
-                         translate_frac=0.125):
-    """EQ-T / EQ-R for the alias-free (SG3) generator
-    (metrics/equivariance.py): PSNR between transforming the INPUT
-    Fourier-feature frame and transforming the OUTPUT image.
-
-    G3: tgi.nn.synthesis3.SG3Generator. Returns {'eqt': db, 'eqr': db}.
-    """
-    import jax
-    import jax.numpy as jnp
-    import scipy.ndimage
-    key = key if key is not None else jax.random.PRNGKey(0)
-    res = G3.cfg.img_resolution
-    shift_px = translate_frac * res
-
-    def with_transform(params, m):
-        inp = dict(params["synthesis"]["input"], transform=jnp.asarray(m))
-        return {**params, "synthesis": {**params["synthesis"],
-                                        "input": inp}}
-
-    eqt, eqr = [], []
-    for i in range(num_samples // batch):
-        z = jax.random.normal(jax.random.fold_in(key, i),
-                              (batch, G3.cfg.z_dim))
-        ref = np.asarray(G3(params, z, None))
-        # EQ-T: translate input frame by t, compare to pixel-shifted output.
-        t = shift_px / res * 2
-        m = np.eye(3); m[0, 2] = -t; m[1, 2] = 0
-        out = np.asarray(G3(with_transform(params, m), z, None))
-        shifted = np.roll(ref, int(round(shift_px)), axis=3)
-        eqt.append(_psnr(out[..., :, int(shift_px):],
-                         shifted[..., :, int(shift_px):]))
-        # EQ-R: rotate input frame by theta, compare to rotated output.
-        theta = 15 * np.pi / 180
-        mr = np.eye(3)
-        mr[0, 0] = mr[1, 1] = np.cos(theta)
-        mr[0, 1] = -np.sin(theta)
-        mr[1, 0] = np.sin(theta)
-        out_r = np.asarray(G3(with_transform(params, mr), z, None))
-        rot = scipy.ndimage.rotate(ref, -np.degrees(theta), axes=(3, 2),
-                                   reshape=False, order=1)
-        m0 = res // 4
-        eqr.append(_psnr(out_r[..., m0:-m0, m0:-m0],
-                         rot[..., m0:-m0, m0:-m0]))
-    return {"eqt": float(np.mean(eqt)), "eqr": float(np.mean(eqr))}
+                         translate_frac=0.125, eqt_frac=False):
+    """EQ-T / EQ-R (+ optional EQ-T_frac) for the alias-free (SG3)
+    generator — delegates to the faithful operator port in
+    tgi.metrics.equivariance (golden-tested vs metrics/equivariance.py).
+    Returns {'eqt': dB, 'eqr': dB[, 'eqt_frac': dB]}."""
+    from tgi.metrics.equivariance import compute_equivariance_metrics
+    out = compute_equivariance_metrics(
+        G3, params, num_samples=num_samples, batch_size=batch,
+        translate_max=translate_frac, eqt_int=True, eqt_frac=eqt_frac,
+        eqr=True)
+    res = {"eqt": out["eqt_int"], "eqr": out["eqr"]}
+    if eqt_frac:
+        res["eqt_frac"] = out["eqt_frac"]
+    return res

@@ -87,11 +87,17 @@ def vgg16_features(params, x, up_to: int = 15, outputs=()):
     return collected if outputs else x
 
 
-def warping_features(params, images_255):
-    """Layer-14 output ('14' mode of warping_loss.get_features): value after
-    features[15] ReLU, fed raw [0,255] images exactly as the reference does
-    (warping_loss.py:78-104)."""
-    return vgg16_features(params, images_255, outputs=(15,))[15]
+def warping_features(params, images):
+    """'14' mode of warping_loss.get_features (warping_loss.py:78-115).
+
+    The reference code APPEARS to return the pre-ReLU conv14 output
+    (``x15 = layer_list[14](x14)``), but it keeps computing through
+    x22, and layer 15 is ``nn.ReLU(inplace=True)`` — ``x16 =
+    layer_list[15](x15)`` mutates x15 in place, so the returned tensor
+    is in fact the POST-ReLU activation. Parity targets the behavior:
+    value after features[15] (verified against the reference function
+    directly in tests/test_projector_parity.py)."""
+    return vgg16_features(params, images, outputs=(15,))[15]
 
 
 def lpips_features(params, head_params, images_255):

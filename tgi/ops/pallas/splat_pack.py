@@ -34,7 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ENTRY_BLOCK = 512
+import os
+
+# Entries per kernel block. The kernel is bound by while-loop pass count
+# (blocks x touched windows), not FLOPs: bigger blocks amortize more
+# entries per touched window at the cost of a larger matmul per pass.
+ENTRY_BLOCK = int(os.environ.get("TGI_SPLAT_BLOCK", "512"))
 TILE = 16              # cells per tile side; window = TILE*TILE = 256 rows
 WINDOW = TILE * TILE
 

@@ -111,7 +111,7 @@ def make_projection_snapshotter(proj, out_dir, name, *, save_warp=True,
             _, warped = calc_warping_loss(
                 canon["image"], partial(warping_features, proj.vgg_params),
                 pred_ext, proj.init_ext, proj.intrinsic[None],
-                pred["image_depth"], target_255)
+                pred["image_depth"], target_255 / 127.5 - 1.0)
         return pred["image"], warped
 
     def snapshot(step, train_state, target_255):
