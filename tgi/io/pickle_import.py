@@ -291,11 +291,13 @@ def load_network_pkl(path_or_bytes) -> dict:
     """Load a reference pickle; returns the raw dict with CapturedModule
     values for G/D/G_ema (plus any plain entries).
 
-    TF-era pickles (a (G, D, Gs) tuple of tflib Networks, legacy.py:29-34)
-    are detected and rejected with a actionable error: they predate the
-    tri-plane generator, so there is no EG3D architecture to map them onto
-    — convert them with the reference's legacy.py into a modern pickle
-    first. Modern pickles (including force-fp16 variants) load natively.
+    TF-era pickles (a (G, D, Gs) tuple of tflib Networks, legacy.py:28-33)
+    predate the tri-plane generator, so their networks are converted into
+    tgi's standalone 2D StyleGAN2 family instead (tgi.io.legacy_tf mirrors
+    the reference convert_tf_generator/_discriminator mapping): the dict
+    entries come back as ConvertedSG2 (config + params), ready for
+    tgi.models.stylegan2. Modern pickles (including force-fp16 variants)
+    load natively as CapturedModule trees.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = ReferenceUnpickler(io.BytesIO(path_or_bytes)).load()
@@ -304,12 +306,9 @@ def load_network_pkl(path_or_bytes) -> dict:
             data = ReferenceUnpickler(f).load()
     if isinstance(data, tuple) and len(data) == 3 and \
             all(isinstance(net, _TFNetworkStub) for net in data):
-        raise NotImplementedError(
-            "TF-era StyleGAN pickle (dnnlib.tflib Network tuple): these "
-            "carry 2D StyleGAN weights with no tri-plane decoder and "
-            "cannot be expressed as an EG3D generator. Convert with the "
-            "upstream legacy.py (python legacy.py --network=<tf.pkl> "
-            "--dest=<out.pkl>) and load the converted pickle.")
+        from tgi.io.legacy_tf import convert_tf_network_tuple
+
+        return convert_tf_network_tuple(data)
     if not isinstance(data, dict):
         raise ValueError(
             f"unrecognized network pickle payload: {type(data).__name__} "
@@ -444,6 +443,13 @@ def load_generator(path, key: str = "G_ema", force_fp16: bool = False):
 
     data = load_network_pkl(path)
     cap = data[key]
+    from tgi.io.legacy_tf import ConvertedSG2
+    if isinstance(cap, ConvertedSG2):
+        raise ValueError(
+            "this pickle holds a TF-era 2D StyleGAN2 (no tri-plane "
+            "decoder) — it converts to the tgi.models.stylegan2 family, "
+            "not TriPlaneGenerator; use load_network_pkl() and "
+            "sg2_generator_apply, or tgi.apps.legacy_convert")
     cfg = generator_config_from_captured(cap)
     if force_fp16:
         cfg = dataclasses.replace(cfg, fused_dtype="bfloat16",
