@@ -249,6 +249,28 @@ def test_force_fp16_config_rewrite(tmp_path):
     assert cfg16.fused_dtype == "bfloat16" and cfg16.sr_num_fp16_res == 4
 
 
+def test_neural_rendering_resolution_from_attribute():
+    """triplane.py:43 initializes neural_rendering_resolution=64 and
+    training overwrites the ATTRIBUTE (ffhqrebalanced512-128 ships with
+    128); synthesis renders at it when no explicit resolution is given
+    (triplane.py:57-60). The importer must read the pickled attribute,
+    not assume the init default."""
+    from tgi.io.pickle_import import (CapturedModule,
+                                      generator_config_from_captured)
+
+    meta = {"class_name": "TriPlaneGenerator",
+            "state": {"_init_args": (512, 25, 512, 512, 3),
+                      "_init_kwargs": {"rendering_kwargs": {}},
+                      "neural_rendering_resolution": 128,
+                      "_modules": {}, "_parameters": {}, "_buffers": {}}}
+    cfg = generator_config_from_captured(CapturedModule(meta))
+    assert cfg.neural_rendering_resolution == 128
+    # absent attribute -> the triplane.py:43 init default
+    del meta["state"]["neural_rendering_resolution"]
+    cfg = generator_config_from_captured(CapturedModule(meta))
+    assert cfg.neural_rendering_resolution == 64
+
+
 def test_tb_writer(tmp_path):
     """TBWriter mirrors scalars/images to an event file (log_utils parity);
     degrades to no-op when tensorboard is absent."""

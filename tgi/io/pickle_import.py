@@ -416,6 +416,13 @@ def generator_config_from_captured(cap: CapturedModule):
     merged.update({k: v for k, v in kw.items() if k in names})
     rendering_kwargs = dict(kw.get("rendering_kwargs", {}))
     mapping_kwargs = dict(kw.get("mapping_kwargs", {}))
+    # neural_rendering_resolution is NOT an init kwarg: triplane.py:43
+    # initializes it to 64 and training overwrites the attribute (e.g.
+    # ffhqrebalanced512-128 ships with 128); it persists in the pickled
+    # module __dict__, and G.synthesis renders at that attribute when no
+    # explicit resolution is passed (triplane.py:57-60) — so it must be
+    # read from the captured state, not defaulted.
+    nrr = int(cap.state.get("neural_rendering_resolution", 64))
     return GeneratorConfig(
         z_dim=merged.get("z_dim", 512),
         c_dim=merged.get("c_dim", 25),
@@ -426,6 +433,7 @@ def generator_config_from_captured(cap: CapturedModule):
         channel_max=kw.get("channel_max", 512),
         mapping_layers=mapping_kwargs.get("num_layers", 8),
         sr_num_fp16_res=kw.get("sr_num_fp16_res", 4),
+        neural_rendering_resolution=nrr,
         rendering_kwargs=rendering_kwargs,
     )
 
