@@ -19,11 +19,21 @@ fwd+bwd of the full generator at 512², plus 400 LPIPS/VGG evals, on a
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compile cache (executables keyed by program+compiler
+# version): the stage-1/stage-2 scans are multi-minute compiles through
+# the axon relay; cache them across bench runs. Kept out of git — unlike
+# the CPU test cache, TPU executables are chip/runtime specific.
+_cache = os.environ.get("TGI_BENCH_CACHE", "/root/.cache/tgi_tpu_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 REFERENCE_SEC_PER_IMAGE = 180.0
 STAGE1_STEPS = 400
@@ -151,6 +161,59 @@ def main():
     sec_per_image = (STAGE1_STEPS * stage1_ms
                      + STAGE2_STEPS * stage2_ms) / 1e3
 
+    # 3b) The reference README stages ffhqrebalanced512-128.pkl — same
+    # architecture and weights shapes, but neural_rendering_resolution=128
+    # as a pickled attribute (4x the rays; the raw 64² render is otherwise
+    # bilinearly lifted to the SR's 128 input, superresolution.py:48-51).
+    # Measure the same steps at that ray count so the bench covers the
+    # shipped checkpoint's exact workload (BASELINE.md "Ray-count note").
+    import dataclasses
+    import os as _os
+    extra128 = {}
+    if _os.environ.get("TGI_BENCH_128", "1") == "1":
+        G128 = TriPlaneGenerator(dataclasses.replace(
+            G.cfg, neural_rendering_resolution=128))
+        proj128 = Projector(G128, params, vgg, head, pose,
+                            ProjectorConfig(w_avg_samples=512,
+                                            render_fp32=False))
+        step128 = proj128._make_step(target, tfeats, w_std, preheat=False)
+
+        @jax.jit
+        def scan_stage1_128(ts_, os_):
+            carry = (ts_, os_, jax.random.PRNGKey(2))
+            carry, _ = jax.lax.scan(step128, carry,
+                                    jnp.arange(60, 60 + NS1))
+            return carry[0]["w"]
+
+        s1_128 = timeit(lambda: scan_stage1_128(ts, opt_states),
+                        warmup=1, iters=3) * 1e3 / NS1
+
+        coach128 = PTICoach(G128, lp, CoachConfig())
+
+        @jax.jit
+        def scan_stage2_128(p, opt_state):
+            def body(carry, _):
+                pp, os_, k = carry
+                k, kk = jax.random.split(k)
+                g, _ = jax.grad(coach128._loss, has_aux=True)(
+                    pp, ws, c, real, kk)
+                upd, os_ = coach128.opt.update(g, os_, pp)
+                return (optax.apply_updates(pp, upd), os_, k), None
+
+            carry, _ = jax.lax.scan(
+                body, (p, opt_state, jax.random.PRNGKey(3)), None,
+                length=NS2)
+            return carry[0]["decoder"]["net0"]["weight"]
+
+        s2_128 = timeit(lambda: scan_stage2_128(params, opt_state0),
+                        warmup=1, iters=3) * 1e3 / NS2
+        extra128 = {
+            "stage1_step_ms_128rays": round(s1_128, 2),
+            "stage2_step_ms_128rays": round(s2_128, 2),
+            "sec_per_image_128rays": round(
+                (STAGE1_STEPS * s1_128 + STAGE2_STEPS * s2_128) / 1e3, 2),
+        }
+
     # 4) Self-inversion quality gate: invert a G-generated target with
     # known (w*, cam*) through the REAL full-budget pipeline
     # (Projector.project 400 steps -> PTICoach.tune <=400 steps with the
@@ -190,6 +253,7 @@ def main():
         "stage1_step_ms": round(stage1_ms, 2),
         "stage2_step_ms": round(stage2_ms, 2),
         "bf16_render_lpips_vs_fp32": round(bf16_lpips, 4),
+        **extra128,
         **selfinv,
         "device": str(dev),
     }))

@@ -265,6 +265,115 @@ def test_progressive_growing_rejected(tf_pickle_blob):
         convert_tf_generator(stub)
 
 
+def test_conditional_parity(ref_legacy):
+    """label_size > 0 exercises the LabelEmbed transposes: G's class
+    embedding concatenated into the mapping input (legacy.py:175-176) and
+    D's projection-discriminator cmap head (legacy.py:279-288)."""
+    import torch
+    from tgi.io.legacy_tf import (convert_tf_discriminator,
+                                  convert_tf_generator)
+    from tgi.models.stylegan2 import sg2_generator_apply
+    from tgi.nn.discriminator import discriminator_apply
+
+    rng = np.random.RandomState(9)
+    s, C_DIM, R = 0.3, 2, 8
+    ch = {4: CH, 8: CH}
+
+    g_vars = [("dlatent_avg", rng.randn(ZW).astype(np.float32) * s)]
+    g_map = [("LabelEmbed/weight", rng.randn(C_DIM, ZW)
+              .astype(np.float32) * s),
+             ("LabelEmbed/bias", rng.randn(ZW).astype(np.float32) * s),
+             ("Dense0/weight", rng.randn(2 * ZW, ZW).astype(np.float32) * s),
+             ("Dense0/bias", rng.randn(ZW).astype(np.float32) * s)]
+    g_syn = [("4x4/Const/const", rng.randn(1, CH, 4, 4).astype(np.float32))]
+
+    def g_conv(name, noise_r):
+        return [(f"{name}/weight", rng.randn(3, 3, CH, CH)
+                 .astype(np.float32) * s),
+                (f"{name}/bias", rng.randn(CH).astype(np.float32) * s),
+                (f"{name}/noise_strength", np.float32(0.02)),
+                (f"{name}/mod_weight", rng.randn(ZW, CH)
+                 .astype(np.float32) * s),
+                (f"{name}/mod_bias", rng.randn(CH).astype(np.float32) * s)]
+
+    def g_torgb(name):
+        return [(f"{name}/weight", rng.randn(1, 1, CH, 3)
+                 .astype(np.float32) * s),
+                (f"{name}/bias", rng.randn(3).astype(np.float32) * s),
+                (f"{name}/mod_weight", rng.randn(ZW, CH)
+                 .astype(np.float32) * s),
+                (f"{name}/mod_bias", rng.randn(CH).astype(np.float32) * s)]
+
+    g_syn += g_conv("4x4/Conv", 4) + g_torgb("4x4/ToRGB")
+    g_syn += g_conv("8x8/Conv0_up", 8) + g_conv("8x8/Conv1", 8)
+    g_syn += g_torgb("8x8/ToRGB")
+    for idx, r in [(0, 4), (1, 8), (2, 8)]:
+        g_syn.append((f"noise{idx}",
+                      rng.randn(1, 1, r, r).astype(np.float32)))
+
+    kw = dict(latent_size=ZW, dlatent_size=ZW, label_size=C_DIM,
+              resolution=R, fmap_base=FMAP_BASE, fmap_max=CH,
+              mapping_layers=1)
+    Stub = ref_legacy._TFNetworkStub
+    tf_G = Stub(version=4, name="G", static_kwargs=kw, variables=g_vars,
+                components={
+                    "mapping": Stub(version=4, name="m", static_kwargs={},
+                                    variables=g_map, components={}),
+                    "synthesis": Stub(version=4, name="s", static_kwargs={},
+                                      variables=g_syn, components={})})
+
+    ref_G = ref_legacy.convert_tf_generator(tf_G)
+    net = convert_tf_generator(tf_G)
+    assert net.config.c_dim == C_DIM
+
+    z = np.random.RandomState(4).randn(2, ZW).astype(np.float32)
+    c = np.eye(2, C_DIM, dtype=np.float32)
+    with torch.no_grad():
+        want = ref_G(torch.as_tensor(z), torch.as_tensor(c),
+                     noise_mode="const").numpy()
+    got = np.asarray(sg2_generator_apply(
+        net.params, jnp.asarray(z), jnp.asarray(c), net.config,
+        noise_mode="const"))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)
+
+    # Conditional discriminator: LabelEmbed -> cmap projection head.
+    d_vars = []
+
+    def d_conv(name, cin, cout, k=3, bias=True):
+        d_vars.append((f"{name}/weight",
+                       rng.randn(k, k, cin, cout).astype(np.float32) * s))
+        if bias:
+            d_vars.append((f"{name}/bias",
+                           rng.randn(cout).astype(np.float32) * s))
+
+    d_conv("8x8/FromRGB", 3, CH, k=1)
+    d_conv("8x8/Conv0", CH, CH)
+    d_conv("8x8/Conv1_down", CH, CH)
+    d_conv("8x8/Skip", CH, CH, k=1, bias=False)
+    d_conv("4x4/Conv", CH + 1, CH)
+    d_vars += [("LabelEmbed/weight", rng.randn(C_DIM, CH)
+                .astype(np.float32) * s),
+               ("LabelEmbed/bias", rng.randn(CH).astype(np.float32) * s),
+               ("4x4/Dense0/weight",
+                rng.randn(CH * 16, CH).astype(np.float32) * s),
+               ("4x4/Dense0/bias", rng.randn(CH).astype(np.float32) * s),
+               ("Output/weight", rng.randn(CH, CH).astype(np.float32) * s),
+               ("Output/bias", rng.randn(CH).astype(np.float32) * s)]
+    tf_D = Stub(version=4, name="D",
+                static_kwargs=dict(label_size=C_DIM, resolution=R,
+                                   fmap_base=FMAP_BASE, fmap_max=CH,
+                                   mbstd_group_size=2),
+                variables=d_vars, components={})
+    ref_D = ref_legacy.convert_tf_discriminator(tf_D)
+    dnet = convert_tf_discriminator(tf_D)
+    img = np.random.RandomState(5).randn(2, 3, R, R).astype(np.float32)
+    with torch.no_grad():
+        want_d = ref_D(torch.as_tensor(img), torch.as_tensor(c)).numpy()
+    got_d = np.asarray(discriminator_apply(
+        dnet.params, jnp.asarray(img), jnp.asarray(c), dnet.config))
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=3e-4)
+
+
 def test_convert_cli_roundtrip(tf_pickle_blob, tmp_path):
     from tgi.apps.legacy_convert import convert_pickle
     from tgi.io import load_checkpoint
