@@ -238,6 +238,81 @@ def main():
             "selfinv_pti_steps": q["pti_steps"],
         }
 
+    # 5) Quality-gated fast mode (PERF.md "paths past the ceiling" (c)):
+    # 32+32 depth samples instead of the reference's 48+48
+    # (rendering_kwargs, triplane.py defaults). The sampling machinery
+    # (gather fwd + splat bwd) scales linearly with the point count, so
+    # this trades FLOPs the quality gate can actually measure: the fast
+    # self-inversion below runs the SAME full-budget pipeline at the
+    # SAME seed as section 4, making fast_selfinv_* directly comparable
+    # to selfinv_* — "matched LPIPS/ID" per BASELINE.md's north star,
+    # demonstrated rather than assumed. Parity-settings numbers above
+    # remain the headline.
+    fast = {}
+    if os.environ.get("TGI_BENCH_FAST", "1") == "1":
+        Gfast = TriPlaneGenerator(G.cfg.with_rendering(
+            depth_resolution=32, depth_resolution_importance=32))
+        projf = Projector(Gfast, params, vgg, head, pose,
+                          ProjectorConfig(w_avg_samples=512,
+                                          render_fp32=False))
+        stepf = projf._make_step(target, tfeats, w_std, preheat=False)
+
+        @jax.jit
+        def scan_stage1_fast(ts_, os_):
+            carry = (ts_, os_, jax.random.PRNGKey(2))
+            carry, _ = jax.lax.scan(stepf, carry,
+                                    jnp.arange(60, 60 + NS1))
+            return carry[0]["w"]
+
+        s1_fast = timeit(lambda: scan_stage1_fast(ts, opt_states),
+                         warmup=1, iters=3) * 1e3 / NS1
+
+        coachf = PTICoach(Gfast, lp, CoachConfig())
+
+        @jax.jit
+        def scan_stage2_fast(p, opt_state):
+            def body(carry, _):
+                pp, os_, k = carry
+                k, kk = jax.random.split(k)
+                g, _ = jax.grad(coachf._loss, has_aux=True)(
+                    pp, ws, c, real, kk)
+                upd, os_ = coachf.opt.update(g, os_, pp)
+                return (optax.apply_updates(pp, upd), os_, k), None
+
+            carry, _ = jax.lax.scan(
+                body, (p, opt_state, jax.random.PRNGKey(3)), None,
+                length=NS2)
+            return carry[0]["decoder"]["net0"]["weight"]
+
+        s2_fast = timeit(lambda: scan_stage2_fast(params, opt_state0),
+                         warmup=1, iters=3) * 1e3 / NS2
+        fast_sec = (STAGE1_STEPS * s1_fast + STAGE2_STEPS * s2_fast) / 1e3
+        fast = {
+            "fast_stage1_step_ms": round(s1_fast, 2),
+            "fast_stage2_step_ms": round(s2_fast, 2),
+            "fast_sec_per_image": round(fast_sec, 2),
+            "fast_vs_baseline": round(REFERENCE_SEC_PER_IMAGE / fast_sec,
+                                      2),
+        }
+        if os.environ.get("TGI_BENCH_SELFINV", "1") == "1":
+            from tgi.invert import self_inversion_eval as _sie
+            # target_G=G: the target is rendered at the PARITY sampling
+            # settings (48+48) and inverted by the FAST pipeline — the
+            # real-world question (fast machinery vs full-fidelity
+            # image), not a softer fast-vs-fast round trip.
+            qf = _sie(Gfast, params, key=jax.random.PRNGKey(42),
+                      vgg_params=vgg, lpips_head=head, pose_params=pose,
+                      lpips_loss=lp, first_inv_steps=STAGE1_STEPS,
+                      max_pti_steps=STAGE2_STEPS, target_G=G)
+            fast.update({
+                "fast_selfinv_final_lpips": round(qf["final_lpips"], 4),
+                "fast_selfinv_final_ms_ssim": round(qf["final_ms_ssim"],
+                                                    4),
+                "fast_selfinv_final_mse": round(qf["final_mse"], 5),
+                "fast_selfinv_pose_err_deg": round(qf["pose_err_deg"], 2),
+                "fast_selfinv_pti_steps": qf["pti_steps"],
+            })
+
     print(json.dumps({
         "metric": "PTI inversion sec/image (w+pose, 400+400 steps)",
         "value": round(sec_per_image, 2),
@@ -255,6 +330,7 @@ def main():
         "bf16_render_lpips_vs_fp32": round(bf16_lpips, 4),
         **extra128,
         **selfinv,
+        **fast,
         "device": str(dev),
     }))
 

@@ -114,6 +114,33 @@ def test_self_inversion_quality_gate(setup):
     assert out["pti_steps"] <= 60
 
 
+def test_self_inversion_fast_mode_target_g(setup):
+    """bench.py's quality-gated fast mode: a reduced-sampling pipeline
+    (with_rendering depth 32+32-scaled) inverting a target rendered at
+    the PARITY sampling settings via ``target_G``. Validates the
+    cross-config plumbing the on-chip gate relies on; tiny budget —
+    the full-budget numbers come from bench.py."""
+    from tgi.invert import self_inversion_eval
+    from tgi.losses.lpips import LPIPSLoss
+
+    G = setup["G"]
+    rk = G.cfg.rendering_kwargs
+    G_fast = TriPlaneGenerator(G.cfg.with_rendering(
+        depth_resolution=max(4, rk["depth_resolution"] * 2 // 3),
+        depth_resolution_importance=max(
+            4, rk["depth_resolution_importance"] * 2 // 3)))
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    out = self_inversion_eval(
+        G_fast, setup["gen"], key=jax.random.PRNGKey(11),
+        vgg_params=setup["vgg"], lpips_head=setup["head"],
+        pose_params=setup["pose"], lpips_loss=lp,
+        first_inv_steps=6, max_pti_steps=6, w_avg_samples=32,
+        target_G=G)
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
+    assert out["pti_steps"] <= 6
+
+
 def test_pti_early_stop_engages(setup):
     """The on-device 0.06 early stop (single_id_coach.py:69-73): tuning
     toward a target the generator already reproduces exactly must stop

@@ -37,12 +37,17 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                         max_pti_steps=400, yaw_offset=0.35,
                         pitch_offset=0.12, camera_mode="quat",
                         truncation_psi=0.7, w_avg_samples=512,
-                        render_fp32=False):
+                        render_fp32=False, target_G=None):
     """Invert a G-generated target; return quality/pose metrics.
 
     Mirrors run_pti's per-image path at full step budget:
     stage 1 = Projector.project (two-phase w+pose scan), stage 2 =
     PTICoach.tune (early-stopped while_loop).
+
+    ``target_G``: optionally render the target with a DIFFERENT
+    generator config (same params) than the one doing the inversion —
+    used by bench.py's fast-mode gate, where a reduced-sampling
+    pipeline must reconstruct a full-fidelity (48+48 sample) target.
     """
     from tgi.invert import CoachConfig, PTICoach, Projector, ProjectorConfig
     from tgi.losses.warp import area_downsample
@@ -70,7 +75,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                             jnp.asarray([0.0, 0.0, 0.2]), radius=2.7)
     cam_star = pack_camera(cam_pose[None], fov_to_intrinsics(18.837))
 
-    target = G.synthesis(gen_params, ws_star, cam_star, det=True)["image"]
+    target = (target_G or G).synthesis(gen_params, ws_star, cam_star,
+                                       det=True)["image"]
     target = jnp.clip(target, -1.0, 1.0)
     res = target.shape[-1]
     t256 = area_downsample(target, 256) if res > 256 else (
