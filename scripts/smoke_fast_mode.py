@@ -10,10 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-_cache = os.environ.get("TGI_BENCH_CACHE", "/root/.cache/tgi_tpu_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+from tgi.bench_util import setup_compile_cache
+
+setup_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -355,6 +355,90 @@ def _run_tgi_loop(s):
                 translation=np.asarray(train_state["translation"]))
 
 
+def test_init_state_e4e_parity(setup):
+    """Starting-latent parity with an e4e encoder in the loop:
+    w_opt = mean_w + RAW encoder output (w_projector.py:98-115; pSp2
+    returns codes[:, 0, :] with NO latent_avg added, e4e/psp.py:47-64).
+
+    (a) mean_w golden: the reference's own z samples through the torch
+        mapping at its cam_init (w_projector.py:87-97, euler2rot(pi/2,
+        pi/2) == the canonical extrinsic to fp eps) vs the ported tgi
+        mapping — same z, same truncation.
+    (b) init_state formula: with a shared deterministic stand-in encoder,
+        the starting w must be w_avg + enc(target), and the encoder must
+        be fed the [0,255]-scaled 256-res target (w_projector.py:73).
+    """
+    import torch
+    from tgi.io import (captured_state_dict, convert_generator_params,
+                        generator_config_from_captured, load_network_pkl)
+    from tgi.models import TriPlaneGenerator
+    from tgi.models.pose_resnet import convert_torch_state_dict
+    from tgi.models.vgg import convert_torch_features
+    from tgi.invert import Projector, ProjectorConfig
+
+    data = load_network_pkl(setup["blob"])
+    cap = data["G_ema"]
+    G = TriPlaneGenerator(generator_config_from_captured(cap))
+    gen_params = convert_generator_params(captured_state_dict(cap))
+
+    # (a) mean_w: reference w_projector.py:92-97 verbatim on the torch G.
+    n = 32
+    z_np = np.random.RandomState(123).randn(n, 512).astype(np.float32)
+    intrinsic = torch.tensor([[4.2647, 0, 0.5, 0, 4.2647, 0.5, 0, 0, 1.0]])
+    from utils.camera_utils import euler2rot
+    with torch.no_grad():
+        ext = euler2rot(torch.tensor([math.pi / 2]),
+                        torch.tensor([math.pi / 2]), torch.zeros(1, 1),
+                        batch_size=1)
+        cam_init = torch.cat([ext, intrinsic], dim=-1)
+        w_samples = setup["G"].mapping(torch.from_numpy(z_np),
+                                       cam_init.repeat(n, 1),
+                                       truncation_cutoff=14,
+                                       truncation_psi=0.7)
+    ref_w_avg = w_samples[:, :1, :].numpy().mean(axis=0, keepdims=True)
+
+    from tgi.invert.projector import CANONICAL_EXTRINSIC, DEFAULT_INTRINSIC
+    cam_tgi = jnp.concatenate(
+        [jnp.asarray(CANONICAL_EXTRINSIC).reshape(1, 16),
+         jnp.asarray(DEFAULT_INTRINSIC).reshape(1, 9)], axis=-1)
+    ws_tgi = G.mapping(gen_params, jnp.asarray(z_np),
+                       jnp.tile(cam_tgi, (n, 1)),
+                       truncation_psi=0.7, truncation_cutoff=14)
+    got_w_avg = np.asarray(ws_tgi[:, 0, :]).mean(axis=0, keepdims=True)
+    np.testing.assert_allclose(got_w_avg, ref_w_avg[0], rtol=1e-4,
+                               atol=2e-5)
+
+    # (b) init_state: start = w_avg + raw encoder delta, encoder fed the
+    # [0,255] target.
+    seen = {}
+    delta = np.random.RandomState(5).randn(1, 512).astype(np.float32)
+
+    def stub_encode(img):
+        seen["img"] = np.asarray(img)
+        return jnp.asarray(delta)
+
+    vgg_sd = {f"features.{k}": v.detach().numpy()
+              for k, v in setup["vgg"].state_dict().items()}
+    pose_params = convert_torch_state_dict(
+        {k: v.detach().numpy()
+         for k, v in setup["cam_net"].state_dict().items()})
+    proj = Projector(G, gen_params, convert_torch_features(vgg_sd),
+                     {f"lin{i}": {"weight": jnp.asarray(w)}
+                      for i, w in enumerate(setup["head_ws"])},
+                     pose_params,
+                     ProjectorConfig(w_avg_samples=8),
+                     e4e_encode=stub_encode)
+    target_255 = (jnp.asarray(setup["target"].numpy())[None] + 1.0) * 127.5
+    key = jax.random.PRNGKey(11)
+    train_state, _, _ = proj.init_state(key, target_255)
+    k_stats, _ = jax.random.split(key)
+    w_avg, _ = proj.compute_w_stats(k_stats)
+    np.testing.assert_allclose(np.asarray(train_state["w"]),
+                               np.asarray(w_avg + delta[:, None, :]),
+                               rtol=1e-6, atol=1e-6)
+    assert seen["img"].max() > 2.0, "encoder must see the [0,255] target"
+
+
 def test_stage1_step_trajectory_parity(setup):
     ref = _run_torch_loop(setup)
     got = _run_tgi_loop(setup)

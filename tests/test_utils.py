@@ -120,8 +120,10 @@ def test_image_folder_dataset_zip(tmp_path, rng):
 
 
 def test_tf_pickle_rejected_and_nondict_guard():
-    """legacy.py:29-34 tier: TF-era tflib pickles are detected and rejected
-    with an actionable message; unknown payloads error clearly."""
+    """legacy.py:29-34 tier: TF-era tflib pickles are detected and routed
+    to the converter (which fail-louds on pre-v4 streams — unconvertible
+    structures are covered in test_legacy_tf.py); unknown payloads error
+    clearly."""
     import pickle
     import sys
     import types
@@ -152,7 +154,7 @@ def test_tf_pickle_rejected_and_nondict_guard():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
-    with _pytest.raises(NotImplementedError, match="legacy.py"):
+    with _pytest.raises(ValueError, match="version too low"):
         load_network_pkl(blob)
     with _pytest.raises(ValueError, match="unrecognized"):
         load_network_pkl(pickle.dumps([1, 2]))

@@ -90,17 +90,14 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
     e4e_encode = None
     if e4e_params is not None:
         from tgi.models.e4e import e4e_encode_w0
-        # Official e4e ckpts predict offsets from their latent_avg; the
-        # reference's own initializer carries none and its raw output is
-        # the absolute start_w (w_projector.py:100).
-        avg0 = None
-        if e4e_latent_avg is not None:
-            avg0 = (e4e_latent_avg[0] if e4e_latent_avg.ndim == 2
-                    else e4e_latent_avg)
+        # The RAW encoder output is the start_w delta: pSp2.forward never
+        # adds latent_avg (models/e4e/psp.py:47-64; the ckpt's latent_avg
+        # is loaded but unused), and the projector adds the generator's
+        # truncated w-mean itself (w_projector.py:113-115).
+        del e4e_latent_avg
 
-        def e4e_encode(img, _avg=avg0):
-            w0 = e4e_encode_w0(e4e_params, img)
-            return w0 if _avg is None else w0 + _avg[None]
+        def e4e_encode(img):
+            return e4e_encode_w0(e4e_params, img)
 
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      ProjectorConfig(num_steps=first_inv_steps,

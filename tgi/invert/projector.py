@@ -205,12 +205,14 @@ class Projector:
         w_avg, w_std = self.compute_w_stats(k_stats)
         start_w = w_avg
         if self.e4e_encode is not None:
-            # The encoder output IS the starting latent, not a delta on
-            # w_avg (w_projector.py:100: start_w = e4e_enc(...)); when
-            # the checkpoint carries a latent_avg the e4e_encode closure
-            # has already folded it in (official e4e ckpts are trained
-            # as offsets from latent_avg).
-            start_w = self.e4e_encode(target_255)[:, None, :]
+            # w_opt starts at mean_w + the RAW encoder output
+            # (w_projector.py:113-115: w_opt = mean_w + start_w, where
+            # start_w = e4e_enc(target_e4e) and pSp2.forward returns
+            # codes[:, 0, :] with NO latent_avg added, e4e/psp.py:47-64)
+            # — the e4e output is a delta on the generator's truncated
+            # w-mean, not an absolute latent. The encoder input is the
+            # [0,255]-scaled 256-res target (w_projector.py:73).
+            start_w = w_avg + self.e4e_encode(target_255)[:, None, :]
 
         # Re-randomize noise buffers (w_projector.py:126-131).
         noise = {}
