@@ -45,12 +45,20 @@ BLOCKS_34 = (3, 4, 6, 3)
 WIDTHS = (64, 128, 256, 512)
 
 
-def resnet34_init(key, output_dims: int = 6):
+def resnet34_init(key, output_dims: int = 6, width_mult: float = 1.0,
+                  blocks=BLOCKS_34):
+    """``width_mult``/``blocks`` shrink the net (same residual topology;
+    the apply path derives both from the params) for FLOP-light
+    correctness checks like the multichip dryrun."""
+    def sc(c):
+        return max(1, int(round(c * width_mult)))
+
     keys = iter(jax.random.split(key, 64))
-    params = {"conv1": {"weight": _conv_init(next(keys), 64, 3, 7)},
-              "bn1": _bn_init(64)}
-    in_c = 64
-    for li, (n_blocks, width) in enumerate(zip(BLOCKS_34, WIDTHS), start=1):
+    params = {"conv1": {"weight": _conv_init(next(keys), sc(64), 3, 7)},
+              "bn1": _bn_init(sc(64))}
+    in_c = sc(64)
+    widths = tuple(sc(w) for w in WIDTHS)
+    for li, (n_blocks, width) in enumerate(zip(blocks, widths), start=1):
         layer = {}
         for bi in range(n_blocks):
             stride = 2 if (li > 1 and bi == 0) else 1
@@ -78,9 +86,9 @@ def resnet34_init(key, output_dims: int = 6):
                 "bias": jax.random.uniform(kb, (out_f,), minval=-bound,
                                            maxval=bound)}
 
-    params["fc"] = linear(next(keys), 1000, 512)
-    params["fc2"] = linear(next(keys), 128, 1000)
-    params["fc3"] = linear(next(keys), output_dims, 128)
+    params["fc"] = linear(next(keys), sc(1000), widths[-1])
+    params["fc2"] = linear(next(keys), sc(128), sc(1000))
+    params["fc3"] = linear(next(keys), output_dims, sc(128))
     return params
 
 
@@ -105,8 +113,10 @@ def resnet34_apply(params, x):
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 1, 3, 3), (1, 1, 2, 2),
                               ((0, 0), (0, 0), (1, 1), (1, 1)))
-    for li, n_blocks in enumerate(BLOCKS_34, start=1):
-        for bi in range(n_blocks):
+    for li in range(1, len(BLOCKS_34) + 1):
+        # Block count read off the params so width/depth-scaled twins
+        # (resnet34_init(..., blocks=...)) run through the same code.
+        for bi in range(len(params[f"layer{li}"])):
             stride = 2 if (li > 1 and bi == 0) else 1
             x = _basic_block(params[f"layer{li}"][str(bi)], x, stride)
     x = x.mean(axis=(2, 3))  # adaptive avg pool to 1x1

@@ -34,10 +34,20 @@ IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
-def vgg16_init(key):
+def _scaled(c, width_mult):
+    return max(1, int(round(c * width_mult)))
+
+
+def vgg16_init(key, width_mult: float = 1.0):
+    """``width_mult < 1`` builds a channel-scaled twin (same 13-conv
+    topology; the apply path derives channels from the params) — used
+    where full-size aux-net FLOPs dominate a correctness check, e.g. the
+    multichip dryrun. Pair with ``lpips_head_init(key, width_mult)``."""
     params = {"features": {}}
     keys = jax.random.split(key, len(VGG16_CONVS))
     for k, (idx, (cin, cout)) in zip(keys, VGG16_CONVS.items()):
+        cin = 3 if cin == 3 else _scaled(cin, width_mult)
+        cout = _scaled(cout, width_mult)
         std = (2.0 / (cin * 9)) ** 0.5
         params["features"][str(idx)] = {
             "weight": jax.random.normal(k, (cout, cin, 3, 3)) * std,
@@ -46,11 +56,12 @@ def vgg16_init(key):
     return params
 
 
-def lpips_head_init(key):
+def lpips_head_init(key, width_mult: float = 1.0):
     """Per-stage 1x1 linear weights (lpips 'lin' layers), non-negative."""
     keys = jax.random.split(key, len(LPIPS_CHANNELS))
     return {f"lin{i}": {"weight":
-                        jnp.abs(jax.random.normal(k, (c,)) * 0.1)}
+                        jnp.abs(jax.random.normal(
+                            k, (_scaled(c, width_mult),)) * 0.1)}
             for i, (k, c) in enumerate(zip(keys, LPIPS_CHANNELS))}
 
 
