@@ -414,7 +414,8 @@ class Projector:
 
     # -- batched inversion ----------------------------------------------
 
-    def project_batch(self, key, targets_255, num_steps=None):
+    def project_batch(self, key, targets_255, num_steps=None,
+                      targets_warp=None):
         """Invert a BATCH of targets simultaneously (BASELINE.json config
         5, 'throughput-oriented batch inversion').
 
@@ -428,6 +429,9 @@ class Projector:
         Args:
             key: PRNG key.
             targets_255: [B, 1, 3, 256, 256] or [B, 3, 256, 256].
+            targets_warp: optional [B, 1, 3, R, R] full-resolution
+                [-1, 1] targets for the warp loss (per-image counterpart
+                of ``project``'s ``target_full``).
 
         Returns (ws [B, 1, num_ws, D], cams [B, 1, 25], states, metrics).
         """
@@ -437,6 +441,10 @@ class Projector:
             targets_255 = targets_255[:, None]
         B = targets_255.shape[0]
         targets_255 = jnp.asarray(targets_255, jnp.float32)
+        if targets_warp is not None:
+            targets_warp = jnp.asarray(targets_warp, jnp.float32)
+            if targets_warp.ndim == 4:
+                targets_warp = targets_warp[:, None]
         k_init, k_loop = jax.random.split(key)
 
         target_feats = jax.vmap(
@@ -455,9 +463,15 @@ class Projector:
             step = self._make_step_batched(w_std, preheat)
             def body(c, i):
                 (ts, os, keys) = c
-                (ts, os, keys), m = jax.vmap(
-                    step, in_axes=((0, 0, 0), None, 0, 0))(
-                        (ts, os, keys), i, targets_255, target_feats)
+                if targets_warp is None:
+                    (ts, os, keys), m = jax.vmap(
+                        step, in_axes=((0, 0, 0), None, 0, 0))(
+                            (ts, os, keys), i, targets_255, target_feats)
+                else:
+                    (ts, os, keys), m = jax.vmap(
+                        step, in_axes=((0, 0, 0), None, 0, 0, 0))(
+                            (ts, os, keys), i, targets_255, target_feats,
+                            targets_warp)
                 return (ts, os, keys), m
             return jax.lax.scan(body, carry, steps)
 

@@ -113,3 +113,106 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
         "w_err": float(jnp.linalg.norm(ws[:, 0] - ws_star[:, 0])),
     })
     return out
+
+
+# Per-image (yaw, pitch) ground-truth camera offsets for the batched
+# gate; image 0 matches self_inversion_eval's defaults so its metrics
+# are directly comparable to the single-image gate at the same key.
+_BATCH_POSE_OFFSETS = ((0.35, 0.12), (-0.3, 0.08), (0.25, -0.1),
+                       (-0.2, -0.15))
+
+
+def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
+                              lpips_head, pose_params, lpips_loss,
+                              batch_size=4, first_inv_steps=400,
+                              max_pti_steps=400, camera_mode="quat",
+                              truncation_psi=0.7, w_avg_samples=512,
+                              render_fp32=False):
+    """Closed-loop gate for BATCHED inversion: batch_size targets with
+    known per-image (w*, cam*), inverted SIMULTANEOUSLY through
+    Projector.project_batch (per-image optimization states vmapped,
+    remat_render bounding the B x two-view residual memory), then
+    per-image PTICoach.tune. Verifies the reference's strictly-per-image
+    semantics (w_projector.py:62, 120-131) hold at B > 1.
+
+    Image 0 reuses self_inversion_eval's exact key split and camera
+    offsets, so per_image[0] is directly comparable to the single-image
+    gate at the same ``key``. Returns per-image quality dicts plus
+    batch aggregates.
+    """
+    from tgi.invert import CoachConfig, PTICoach, Projector, ProjectorConfig
+    from tgi.losses.warp import area_downsample
+    from tgi.metrics import ms_ssim
+    from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                    pack_camera)
+
+    k_z, k_proj, k_tune = jax.random.split(key, 3)
+    B = batch_size
+
+    proj_cfg = ProjectorConfig(num_steps=first_inv_steps,
+                               camera_mode=camera_mode,
+                               w_avg_samples=w_avg_samples,
+                               render_fp32=render_fp32, remat_render=True)
+    proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
+                     proj_cfg)
+
+    # Params threaded as jit args (never closure constants — large
+    # host-side constants can exceed the axon relay's request limit).
+    synth = jax.jit(lambda p, w, c: jnp.clip(
+        G.synthesis(p, w, c, det=True)["image"], -1.0, 1.0))
+    targets, t255s, cams_star, ws_stars = [], [], [], []
+    for i in range(B):
+        kz_i = k_z if i == 0 else jax.random.fold_in(k_z, i)
+        z = jax.random.normal(kz_i, (1, G.cfg.z_dim))
+        ws_star = G.mapping(gen_params, z, proj.canonical_cam,
+                            truncation_psi=truncation_psi,
+                            truncation_cutoff=14)
+        yaw, pitch = _BATCH_POSE_OFFSETS[i % len(_BATCH_POSE_OFFSETS)]
+        cam_pose = look_at_pose(math.pi / 2 + yaw, math.pi / 2 + pitch,
+                                jnp.asarray([0.0, 0.0, 0.2]), radius=2.7)
+        cam_star = pack_camera(cam_pose[None], fov_to_intrinsics(18.837))
+        target = synth(gen_params, ws_star, cam_star)
+        res = target.shape[-1]
+        t256 = area_downsample(target, 256) if res > 256 else (
+            jax.image.resize(target, (1, 3, 256, 256), method="linear")
+            if res < 256 else target)
+        targets.append(target)
+        t255s.append((t256 + 1.0) * 127.5)
+        cams_star.append(cam_star)
+        ws_stars.append(ws_star)
+    targets = jnp.stack(targets)           # [B, 1, 3, R, R]
+    t255s = jnp.stack(t255s)               # [B, 1, 3, 256, 256]
+
+    ws, cams, _states, _metrics = proj.project_batch(
+        k_proj, t255s, targets_warp=targets)
+
+    coach = PTICoach(G, lpips_loss,
+                     CoachConfig(max_pti_steps=max_pti_steps))
+    tune = jax.jit(lambda k, p, w, c, t: coach.tune(k, p, w, c, t))
+
+    per_image = []
+    for i in range(B):
+        tuned, info = tune(jax.random.fold_in(k_tune, i), gen_params,
+                           ws[i], cams[i], targets[i])
+        final = G.synthesis(tuned, ws[i], cams[i], det=True)["image"]
+        per_image.append({
+            "final_mse": float(jnp.mean(jnp.square(final - targets[i]))),
+            "final_lpips": float(lpips_loss.from_unit(final,
+                                                      targets[i]).sum()),
+            "final_ms_ssim": float(ms_ssim((final + 1) / 2,
+                                           (targets[i] + 1) / 2).mean()),
+            "pose_err_deg": float(rotation_error_deg(cams[i],
+                                                     cams_star[i])[0]),
+            "pti_steps": int(info["steps"]),
+            "w_err": float(jnp.linalg.norm(ws[i][:, 0]
+                                           - ws_stars[i][:, 0])),
+        })
+    return {
+        "per_image": per_image,
+        "mean_final_ms_ssim": float(np.mean([p["final_ms_ssim"]
+                                             for p in per_image])),
+        "mean_final_mse": float(np.mean([p["final_mse"]
+                                         for p in per_image])),
+        "max_pose_err_deg": float(np.max([p["pose_err_deg"]
+                                          for p in per_image])),
+    }
