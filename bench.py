@@ -10,12 +10,22 @@ init; wall-clock does not depend on weight values):
   * extrapolated PTI inversion sec/image at the reference step budget
     (400 stage-1 + 400 stage-2, hyperparameters.py:19-22)
 
-Prints ONE JSON line. ``vs_baseline`` compares the extrapolated
-sec/image against REFERENCE_SEC_PER_IMAGE — the RTX 3090 wall-clock of
-the reference implementation for the same budget (no number is published
-in the repo; 180 s/image is our measured-workload estimate: ~800
-fwd+bwd of the full generator at 512², plus 400 LPIPS/VGG evals, on a
-3090 — see BASELINE.md).
+The HEADLINE JSON line (metric/value/unit/vs_baseline + step timings) is
+printed and flushed as soon as sections 1-3 finish; optional sections
+(self-inversion quality gate, batched inversion, fast mode, 128-ray)
+then run under an internal wall-clock budget (``TGI_BENCH_BUDGET_S``,
+default 1200 s; 0 = unlimited) — a section whose worst-case-cold
+estimate exceeds the remaining budget is skipped and named in
+``skipped_sections`` — and a final merged JSON line repeats the headline
+plus everything that ran. Worst-case-cold (empty compile cache) the run
+self-bounds instead of starving the headline (round-3 failure mode).
+
+``vs_baseline`` compares the extrapolated sec/image against
+REFERENCE_SEC_PER_IMAGE — the RTX 3090 wall-clock of the reference
+implementation for the same budget (no number is published in the repo;
+180 s/image is our measured-workload estimate: ~800 fwd+bwd of the full
+generator at 512², plus 400 LPIPS/VGG evals, on a 3090 — see
+BASELINE.md).
 """
 
 import json
@@ -26,18 +36,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compile cache (executables keyed by program+compiler
-# version): the stage-1/stage-2 scans are multi-minute compiles through
-# the axon relay; cache them across bench runs. Kept out of git — unlike
-# the CPU test cache, TPU executables are chip/runtime specific.
-_cache = os.environ.get("TGI_BENCH_CACHE", "/root/.cache/tgi_tpu_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+from tgi.bench_util import setup_compile_cache
+
+setup_compile_cache()
 
 REFERENCE_SEC_PER_IMAGE = 180.0
 STAGE1_STEPS = 400
 STAGE2_STEPS = 400
+NS1 = 16          # stage-1 steps fused per timing scan
+NS2 = 12          # stage-2 steps fused per timing scan
 
 
 def timeit(fn, *args, warmup=2, iters=8):
@@ -67,15 +74,127 @@ def timeit_chained(render_scalar_fn, n=10):
     return (time.perf_counter() - t0) / n
 
 
+class SectionBudget:
+    """Internal wall-clock budget: optional sections only start when
+    their worst-case-cold estimate fits the remaining window, so the
+    process always exits in-window with both JSON lines printed."""
+
+    def __init__(self, total_s):
+        self.t0 = time.perf_counter()
+        self.total = total_s
+        self.skipped = []
+
+    def elapsed(self):
+        return time.perf_counter() - self.t0
+
+    def allow(self, name, est_s):
+        if self.total <= 0:
+            return True
+        remaining = self.total - self.elapsed()
+        if remaining >= est_s:
+            return True
+        self.skipped.append(
+            f"{name} (worst-case-cold est {est_s:.0f}s > {remaining:.0f}s "
+            "left)")
+        return False
+
+
+def measure_stage_steps(G_var, *, params, ws, c, real, target, tfeats, ts,
+                        opt_states, w_std, vgg, head, pose, lp):
+    """(stage-1 step ms, stage-2 step ms) for a generator variant.
+
+    The real pipeline runs its 400 steps inside ONE lax.scan — a single
+    dispatch. Timing per-call through the axon relay adds ~100 ms of
+    round-trip per step that the real loop never pays, so measure a
+    fused scan and divide. Shared by the parity, 128-ray, and fast-mode
+    sections (they differ only in the generator's rendering config).
+    """
+    import optax
+
+    from tgi.invert import CoachConfig, PTICoach, Projector, ProjectorConfig
+
+    proj = Projector(G_var, params, vgg, head, pose,
+                     ProjectorConfig(w_avg_samples=512, render_fp32=False))
+    step = proj._make_step(target, tfeats, w_std, preheat=False)
+
+    @jax.jit
+    def scan_stage1(ts_, os_):
+        carry = (ts_, os_, jax.random.PRNGKey(2))
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(60, 60 + NS1))
+        return carry[0]["w"]
+
+    s1_ms = timeit(lambda: scan_stage1(ts, opt_states),
+                   warmup=1, iters=3) * 1e3 / NS1
+
+    coach = PTICoach(G_var, lp, CoachConfig())
+    opt_state0 = jax.jit(coach.opt.init)(params)
+
+    @jax.jit
+    def scan_stage2(p, opt_state):
+        def body(carry, _):
+            pp, os_, k = carry
+            k, kk = jax.random.split(k)
+            g, _ = jax.grad(coach._loss, has_aux=True)(pp, ws, c, real, kk)
+            upd, os_ = coach.opt.update(g, os_, pp)
+            return (optax.apply_updates(pp, upd), os_, k), None
+
+        carry, _ = jax.lax.scan(
+            body, (p, opt_state, jax.random.PRNGKey(3)), None, length=NS2)
+        return carry[0]["decoder"]["net0"]["weight"]
+
+    s2_ms = timeit(lambda: scan_stage2(params, opt_state0),
+                   warmup=1, iters=3) * 1e3 / NS2
+    return s1_ms, s2_ms
+
+
+def measure_batched_stage1(G, *, params, vgg, head, pose, B, ns=8):
+    """Stage-1 step ms PER IMAGE with B images inverted simultaneously
+    (Projector.project_batch semantics: per-image w/noise/pose/Adam
+    states vmapped, frozen generator shared so the convs batch on the
+    MXU; remat_render bounds the B x two-view residual memory)."""
+    from tgi.invert import Projector, ProjectorConfig
+    from tgi.models.vgg import lpips_features
+
+    proj = Projector(G, params, vgg, head, pose,
+                     ProjectorConfig(w_avg_samples=512, render_fp32=False,
+                                     remat_render=True))
+    targets = jax.random.uniform(jax.random.PRNGKey(21),
+                                 (B, 1, 3, 256, 256), maxval=255.0)
+    tfeats = jax.vmap(lambda t: lpips_features(vgg, head, t))(targets)
+    ts, opt_states, w_std = jax.vmap(proj.init_state)(
+        jax.random.split(jax.random.PRNGKey(22), B), targets)
+    keys = jax.random.split(jax.random.PRNGKey(23), B)
+
+    step = proj._make_step_batched(w_std[0], preheat=False)
+    vstep = jax.vmap(step, in_axes=((0, 0, 0), None, 0, 0))
+
+    @jax.jit
+    def scan(ts_, os_, keys_, targets_, tfeats_):
+        def body(carry, i):
+            carry, _ = vstep(carry, i, targets_, tfeats_)
+            return carry, None
+        carry, _ = jax.lax.scan(body, (ts_, os_, keys_),
+                                jnp.arange(60, 60 + ns))
+        return carry[0]["w"]
+
+    t = timeit(lambda: scan(ts, opt_states, keys, targets, tfeats),
+               warmup=1, iters=3)
+    return t * 1e3 / ns / B
+
+
 def main():
+    import optax
+
     from tgi.models import TriPlaneGenerator, GeneratorConfig
     from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
                                     pack_camera)
-    from tgi.invert import Projector, ProjectorConfig, PTICoach, CoachConfig
+    from tgi.invert import Projector, ProjectorConfig
     from tgi.losses.lpips import AlexLPIPSLoss
     from tgi.models.pose_resnet import resnet34_init
-    from tgi.models.vgg import lpips_head_init, vgg16_init
+    from tgi.models.vgg import lpips_features, lpips_head_init, vgg16_init
 
+    budget = SectionBudget(float(os.environ.get("TGI_BENCH_BUDGET_S",
+                                                "1200")))
     dev = jax.devices()[0]
     key = jax.random.PRNGKey(0)
     G = TriPlaneGenerator(GeneratorConfig(fused_dtype="bfloat16"))
@@ -97,223 +216,33 @@ def main():
     # generator's native bf16 on TPU (reference forces fp32 as a CUDA
     # fp16-stability guard, w_projector.py:189); check the outputs are
     # perceptually identical before benchmarking the bf16 path.
-    from tgi.losses.lpips import AlexLPIPSLoss
     lp_check = AlexLPIPSLoss(key=jax.random.PRNGKey(7))
     img16 = jax.jit(lambda: G.synthesis(params, ws, c, det=True)["image"])()
     img32 = jax.jit(lambda: G.synthesis(params, ws, c, det=True,
                                         force_fp32=True)["image"])()
     bf16_lpips = float(lp_check.from_unit(img16, img32)[0])
 
-    # 2) stage-1 projection step (bf16 renders).
+    # 2-3) stage-1 / stage-2 step costs at parity settings (bf16 renders).
     kv, kh, kp = jax.random.split(key, 3)
     vgg = vgg16_init(kv)
     head = lpips_head_init(kh)
     pose = resnet34_init(kp, output_dims=4)
-    proj = Projector(G, params, vgg, head, pose,
-                     ProjectorConfig(w_avg_samples=512, render_fp32=False))
     target = jnp.zeros((1, 3, 256, 256))
-    from tgi.models.vgg import lpips_features
     tfeats = lpips_features(vgg, head, target)
-    ts, opt_states, w_std = proj.init_state(jax.random.PRNGKey(1), target)
-    step_b = proj._make_step(target, tfeats, w_std, preheat=False)
-
-    # The real pipeline runs 400 steps inside ONE lax.scan
-    # (Projector.project) — a single dispatch. Timing per-call through
-    # the axon relay adds ~100 ms of round-trip per step that the real
-    # loop never pays, so measure a fused scan and divide.
-    NS1 = 16
-
-    @jax.jit
-    def scan_stage1(ts_, os_):
-        carry = (ts_, os_, jax.random.PRNGKey(2))
-        carry, _ = jax.lax.scan(step_b, carry, jnp.arange(60, 60 + NS1))
-        return carry[0]["w"]
-
-    stage1_ms = timeit(lambda: scan_stage1(ts, opt_states),
-                       warmup=1, iters=3) * 1e3 / NS1
-
-    # 3) stage-2 PTI step (AlexNet-LPIPS, hyperparameters.py:2 parity) —
-    # same scan shape as PTICoach.tune's on-device while_loop.
-    import optax
-    lp = AlexLPIPSLoss(key=jax.random.PRNGKey(5))
-    coach = PTICoach(G, lp, CoachConfig())
+    proj0 = Projector(G, params, vgg, head, pose,
+                      ProjectorConfig(w_avg_samples=512, render_fp32=False))
+    ts, opt_states, w_std = proj0.init_state(jax.random.PRNGKey(1), target)
     real = jnp.zeros((1, 3, 512, 512))
-    NS2 = 12
+    lp = AlexLPIPSLoss(key=jax.random.PRNGKey(5))
 
-    opt_state0 = jax.jit(coach.opt.init)(params)
-
-    @jax.jit
-    def scan_stage2(p, opt_state):
-        def body(carry, _):
-            pp, os_, k = carry
-            k, kk = jax.random.split(k)
-            g, _ = jax.grad(coach._loss, has_aux=True)(pp, ws, c, real, kk)
-            upd, os_ = coach.opt.update(g, os_, pp)
-            return (optax.apply_updates(pp, upd), os_, k), None
-
-        carry, _ = jax.lax.scan(
-            body, (p, opt_state, jax.random.PRNGKey(3)), None, length=NS2)
-        return carry[0]["decoder"]["net0"]["weight"]
-
-    stage2_ms = timeit(lambda: scan_stage2(params, opt_state0),
-                       warmup=1, iters=3) * 1e3 / NS2
-
+    shared = dict(params=params, ws=ws, c=c, real=real, target=target,
+                  tfeats=tfeats, ts=ts, opt_states=opt_states, w_std=w_std,
+                  vgg=vgg, head=head, pose=pose, lp=lp)
+    stage1_ms, stage2_ms = measure_stage_steps(G, **shared)
     sec_per_image = (STAGE1_STEPS * stage1_ms
                      + STAGE2_STEPS * stage2_ms) / 1e3
 
-    # 3b) The reference README stages ffhqrebalanced512-128.pkl — same
-    # architecture and weights shapes, but neural_rendering_resolution=128
-    # as a pickled attribute (4x the rays; the raw 64² render is otherwise
-    # bilinearly lifted to the SR's 128 input, superresolution.py:48-51).
-    # Measure the same steps at that ray count so the bench covers the
-    # shipped checkpoint's exact workload (BASELINE.md "Ray-count note").
-    import dataclasses
-    import os as _os
-    extra128 = {}
-    if _os.environ.get("TGI_BENCH_128", "1") == "1":
-        G128 = TriPlaneGenerator(dataclasses.replace(
-            G.cfg, neural_rendering_resolution=128))
-        proj128 = Projector(G128, params, vgg, head, pose,
-                            ProjectorConfig(w_avg_samples=512,
-                                            render_fp32=False))
-        step128 = proj128._make_step(target, tfeats, w_std, preheat=False)
-
-        @jax.jit
-        def scan_stage1_128(ts_, os_):
-            carry = (ts_, os_, jax.random.PRNGKey(2))
-            carry, _ = jax.lax.scan(step128, carry,
-                                    jnp.arange(60, 60 + NS1))
-            return carry[0]["w"]
-
-        s1_128 = timeit(lambda: scan_stage1_128(ts, opt_states),
-                        warmup=1, iters=3) * 1e3 / NS1
-
-        coach128 = PTICoach(G128, lp, CoachConfig())
-
-        @jax.jit
-        def scan_stage2_128(p, opt_state):
-            def body(carry, _):
-                pp, os_, k = carry
-                k, kk = jax.random.split(k)
-                g, _ = jax.grad(coach128._loss, has_aux=True)(
-                    pp, ws, c, real, kk)
-                upd, os_ = coach128.opt.update(g, os_, pp)
-                return (optax.apply_updates(pp, upd), os_, k), None
-
-            carry, _ = jax.lax.scan(
-                body, (p, opt_state, jax.random.PRNGKey(3)), None,
-                length=NS2)
-            return carry[0]["decoder"]["net0"]["weight"]
-
-        s2_128 = timeit(lambda: scan_stage2_128(params, opt_state0),
-                        warmup=1, iters=3) * 1e3 / NS2
-        extra128 = {
-            "stage1_step_ms_128rays": round(s1_128, 2),
-            "stage2_step_ms_128rays": round(s2_128, 2),
-            "sec_per_image_128rays": round(
-                (STAGE1_STEPS * s1_128 + STAGE2_STEPS * s2_128) / 1e3, 2),
-        }
-
-    # 4) Self-inversion quality gate: invert a G-generated target with
-    # known (w*, cam*) through the REAL full-budget pipeline
-    # (Projector.project 400 steps -> PTICoach.tune <=400 steps with the
-    # 0.06 early stop). MS-SSIM/MSE/pose error are weight-free; LPIPS
-    # uses the same (random-init) backbones as the timing runs, so its
-    # value demonstrates convergence + the early-stop mechanism, not the
-    # calibrated perceptual scale (that needs pretrained weights).
-    from tgi.invert import self_inversion_eval
-    import os
-    selfinv = {}
-    if os.environ.get("TGI_BENCH_SELFINV", "1") == "1":
-        q = self_inversion_eval(
-            G, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
-            lpips_head=head, pose_params=pose, lpips_loss=lp,
-            first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS)
-        selfinv = {
-            "selfinv_final_lpips": round(q["final_lpips"], 4),
-            "selfinv_final_ms_ssim": round(q["final_ms_ssim"], 4),
-            "selfinv_final_mse": round(q["final_mse"], 5),
-            "selfinv_pivot_ms_ssim": round(q["pivot_ms_ssim"], 4),
-            "selfinv_pose_err_deg": round(q["pose_err_deg"], 2),
-            "selfinv_pti_steps": q["pti_steps"],
-        }
-
-    # 5) Quality-gated fast mode (PERF.md "paths past the ceiling" (c)):
-    # 32+32 depth samples instead of the reference's 48+48
-    # (rendering_kwargs, triplane.py defaults). The sampling machinery
-    # (gather fwd + splat bwd) scales linearly with the point count, so
-    # this trades FLOPs the quality gate can actually measure: the fast
-    # self-inversion below runs the SAME full-budget pipeline at the
-    # SAME seed as section 4, making fast_selfinv_* directly comparable
-    # to selfinv_* — "matched LPIPS/ID" per BASELINE.md's north star,
-    # demonstrated rather than assumed. Parity-settings numbers above
-    # remain the headline.
-    fast = {}
-    if os.environ.get("TGI_BENCH_FAST", "1") == "1":
-        Gfast = TriPlaneGenerator(G.cfg.with_rendering(
-            depth_resolution=32, depth_resolution_importance=32))
-        projf = Projector(Gfast, params, vgg, head, pose,
-                          ProjectorConfig(w_avg_samples=512,
-                                          render_fp32=False))
-        stepf = projf._make_step(target, tfeats, w_std, preheat=False)
-
-        @jax.jit
-        def scan_stage1_fast(ts_, os_):
-            carry = (ts_, os_, jax.random.PRNGKey(2))
-            carry, _ = jax.lax.scan(stepf, carry,
-                                    jnp.arange(60, 60 + NS1))
-            return carry[0]["w"]
-
-        s1_fast = timeit(lambda: scan_stage1_fast(ts, opt_states),
-                         warmup=1, iters=3) * 1e3 / NS1
-
-        coachf = PTICoach(Gfast, lp, CoachConfig())
-
-        @jax.jit
-        def scan_stage2_fast(p, opt_state):
-            def body(carry, _):
-                pp, os_, k = carry
-                k, kk = jax.random.split(k)
-                g, _ = jax.grad(coachf._loss, has_aux=True)(
-                    pp, ws, c, real, kk)
-                upd, os_ = coachf.opt.update(g, os_, pp)
-                return (optax.apply_updates(pp, upd), os_, k), None
-
-            carry, _ = jax.lax.scan(
-                body, (p, opt_state, jax.random.PRNGKey(3)), None,
-                length=NS2)
-            return carry[0]["decoder"]["net0"]["weight"]
-
-        s2_fast = timeit(lambda: scan_stage2_fast(params, opt_state0),
-                         warmup=1, iters=3) * 1e3 / NS2
-        fast_sec = (STAGE1_STEPS * s1_fast + STAGE2_STEPS * s2_fast) / 1e3
-        fast = {
-            "fast_stage1_step_ms": round(s1_fast, 2),
-            "fast_stage2_step_ms": round(s2_fast, 2),
-            "fast_sec_per_image": round(fast_sec, 2),
-            "fast_vs_baseline": round(REFERENCE_SEC_PER_IMAGE / fast_sec,
-                                      2),
-        }
-        if os.environ.get("TGI_BENCH_SELFINV", "1") == "1":
-            from tgi.invert import self_inversion_eval as _sie
-            # target_G=G: the target is rendered at the PARITY sampling
-            # settings (48+48) and inverted by the FAST pipeline — the
-            # real-world question (fast machinery vs full-fidelity
-            # image), not a softer fast-vs-fast round trip.
-            qf = _sie(Gfast, params, key=jax.random.PRNGKey(42),
-                      vgg_params=vgg, lpips_head=head, pose_params=pose,
-                      lpips_loss=lp, first_inv_steps=STAGE1_STEPS,
-                      max_pti_steps=STAGE2_STEPS, target_G=G)
-            fast.update({
-                "fast_selfinv_final_lpips": round(qf["final_lpips"], 4),
-                "fast_selfinv_final_ms_ssim": round(qf["final_ms_ssim"],
-                                                    4),
-                "fast_selfinv_final_mse": round(qf["final_mse"], 5),
-                "fast_selfinv_pose_err_deg": round(qf["pose_err_deg"], 2),
-                "fast_selfinv_pti_steps": qf["pti_steps"],
-            })
-
-    print(json.dumps({
+    headline = {
         "metric": "PTI inversion sec/image (w+pose, 400+400 steps)",
         "value": round(sec_per_image, 2),
         "unit": "s/image",
@@ -328,11 +257,164 @@ def main():
         "stage1_step_ms": round(stage1_ms, 2),
         "stage2_step_ms": round(stage2_ms, 2),
         "bf16_render_lpips_vs_fp32": round(bf16_lpips, 4),
-        **extra128,
-        **selfinv,
-        **fast,
         "device": str(dev),
-    }))
+    }
+    # Flush the headline NOW: every optional section below is
+    # best-effort extra evidence, never allowed to starve the record.
+    print(json.dumps(headline), flush=True)
+
+    extras = {}
+
+    # 4) Self-inversion quality gate: invert a G-generated target with
+    # known (w*, cam*) through the REAL full-budget pipeline
+    # (Projector.project 400 steps -> PTICoach.tune <=400 steps with the
+    # 0.06 early stop). MS-SSIM/MSE/pose error are weight-free; LPIPS
+    # uses the same (random-init) backbones as the timing runs, so its
+    # value demonstrates convergence + the early-stop mechanism, not the
+    # calibrated perceptual scale (that needs pretrained weights).
+    selfinv = {}
+    q = None
+    if os.environ.get("TGI_BENCH_SELFINV", "1") == "1" and \
+            budget.allow("selfinv", 420):
+        from tgi.invert import self_inversion_eval
+        q = self_inversion_eval(
+            G, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
+            lpips_head=head, pose_params=pose, lpips_loss=lp,
+            first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS)
+        selfinv = {
+            "selfinv_final_lpips": round(q["final_lpips"], 4),
+            "selfinv_final_ms_ssim": round(q["final_ms_ssim"], 4),
+            "selfinv_final_mse": round(q["final_mse"], 5),
+            "selfinv_pivot_ms_ssim": round(q["pivot_ms_ssim"], 4),
+            "selfinv_pose_err_deg": round(q["pose_err_deg"], 2),
+            "selfinv_pti_steps": q["pti_steps"],
+        }
+        extras.update(selfinv)
+
+    # 5) Batched inversion (PERF.md "paths past the ceiling"): B images
+    # through project_batch semantics — per-image optimization states
+    # vmapped (reference is strictly per-image, w_projector.py:62,
+    # 120-131), shared frozen generator so convs batch on the MXU.
+    # batched_sec_per_image pairs the batched stage-1 with the
+    # (per-image) stage-2 from the headline — a valid schedule: batch
+    # stage 1 across images, then tune each generator copy sequentially.
+    if os.environ.get("TGI_BENCH_BATCHED", "1") == "1":
+        for B in (2, 4):
+            if not budget.allow(f"batched_b{B}", 420):
+                break
+            s1b = measure_batched_stage1(G, params=params, vgg=vgg,
+                                         head=head, pose=pose, B=B)
+            extras[f"batched_stage1_step_ms_per_image_b{B}"] = round(s1b, 2)
+            extras[f"batched_sec_per_image_b{B}"] = round(
+                (STAGE1_STEPS * s1b + STAGE2_STEPS * stage2_ms) / 1e3, 2)
+
+    # 6) Batched self-inversion quality: the same closed-loop gate at
+    # B=4 — image 0 reuses section 4's exact (z, cam*) so its metrics
+    # are directly comparable to selfinv_* (per-image optimization
+    # semantics must hold at B>1).
+    if os.environ.get("TGI_BENCH_BATCHED_QUALITY", "1") == "1" and \
+            budget.allow("batched_quality", 600):
+        from tgi.invert import self_inversion_eval_batch
+        qb = self_inversion_eval_batch(
+            G, params, key=jax.random.PRNGKey(42), batch_size=4,
+            vgg_params=vgg, lpips_head=head, pose_params=pose,
+            lpips_loss=lp, first_inv_steps=STAGE1_STEPS,
+            max_pti_steps=STAGE2_STEPS)
+        extras.update({
+            "batched_selfinv_img0_final_ms_ssim":
+                round(qb["per_image"][0]["final_ms_ssim"], 4),
+            "batched_selfinv_img0_pose_err_deg":
+                round(qb["per_image"][0]["pose_err_deg"], 2),
+            "batched_selfinv_mean_final_ms_ssim":
+                round(qb["mean_final_ms_ssim"], 4),
+            "batched_selfinv_max_pose_err_deg":
+                round(qb["max_pose_err_deg"], 2),
+        })
+        if q is not None:
+            extras["batched_gate_ok"] = bool(
+                qb["per_image"][0]["final_ms_ssim"]
+                >= q["final_ms_ssim"] - 0.01)
+
+    # 7) Fast mode: 32+32 depth samples instead of the reference's 48+48
+    # (rendering_kwargs, triplane.py defaults). The sampling machinery
+    # (gather fwd + splat bwd) scales linearly with the point count. Its
+    # quality gate (section 8) runs the SAME full-budget pipeline at the
+    # SAME seed as section 4 against a target rendered at FULL 48+48
+    # fidelity, so fast_selfinv_* is directly comparable to selfinv_*.
+    fast_sec = None
+    if os.environ.get("TGI_BENCH_FAST", "1") == "1" and \
+            budget.allow("fast", 360):
+        Gfast = TriPlaneGenerator(G.cfg.with_rendering(
+            depth_resolution=32, depth_resolution_importance=32))
+        s1_fast, s2_fast = measure_stage_steps(Gfast, **shared)
+        fast_sec = (STAGE1_STEPS * s1_fast + STAGE2_STEPS * s2_fast) / 1e3
+        extras.update({
+            "fast_stage1_step_ms": round(s1_fast, 2),
+            "fast_stage2_step_ms": round(s2_fast, 2),
+            "fast_sec_per_image": round(fast_sec, 2),
+            # NON-PARITY ratio: full-fidelity reference wall-clock over a
+            # reduced-fidelity (32+32 depth samples) pipeline. The parity
+            # headline is `vs_baseline` above.
+            "fast_vs_baseline_nonparity": round(
+                REFERENCE_SEC_PER_IMAGE / fast_sec, 2),
+        })
+
+    # 8) Fast-mode quality gate (enforced comparison, not just printed):
+    # weight-free metrics at the shared seed — MS-SSIM within 0.01 and
+    # pose error within 0.5 deg of the parity-settings gate.
+    if fast_sec is not None and q is not None and \
+            os.environ.get("TGI_BENCH_SELFINV", "1") == "1" and \
+            budget.allow("fast_selfinv", 420):
+        from tgi.invert import self_inversion_eval
+        Gfast = TriPlaneGenerator(G.cfg.with_rendering(
+            depth_resolution=32, depth_resolution_importance=32))
+        # target_G=G: the target is rendered at the PARITY sampling
+        # settings (48+48) and inverted by the FAST pipeline — the
+        # real-world question (fast machinery vs full-fidelity image),
+        # not a softer fast-vs-fast round trip.
+        qf = self_inversion_eval(
+            Gfast, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
+            lpips_head=head, pose_params=pose, lpips_loss=lp,
+            first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
+            target_G=G)
+        extras.update({
+            "fast_selfinv_final_lpips": round(qf["final_lpips"], 4),
+            "fast_selfinv_final_ms_ssim": round(qf["final_ms_ssim"], 4),
+            "fast_selfinv_final_mse": round(qf["final_mse"], 5),
+            "fast_selfinv_pose_err_deg": round(qf["pose_err_deg"], 2),
+            "fast_selfinv_pti_steps": qf["pti_steps"],
+            "fast_gate_ms_ssim_delta": round(
+                q["final_ms_ssim"] - qf["final_ms_ssim"], 4),
+            "fast_gate_ok": bool(
+                qf["final_ms_ssim"] >= q["final_ms_ssim"] - 0.01
+                and qf["pose_err_deg"] <= q["pose_err_deg"] + 0.5),
+        })
+
+    # 9) The reference README stages ffhqrebalanced512-128.pkl — same
+    # architecture and weight shapes, but neural_rendering_resolution=128
+    # as a pickled attribute (4x the rays; the raw 64² render is
+    # otherwise bilinearly lifted to the SR's 128 input,
+    # superresolution.py:48-51). Measure the same steps at that ray count
+    # so the bench covers the shipped checkpoint's exact workload
+    # (BASELINE.md "Ray-count note").
+    if os.environ.get("TGI_BENCH_128", "1") == "1" and \
+            budget.allow("128rays", 360):
+        import dataclasses
+        G128 = TriPlaneGenerator(dataclasses.replace(
+            G.cfg, neural_rendering_resolution=128))
+        s1_128, s2_128 = measure_stage_steps(G128, **shared)
+        extras.update({
+            "stage1_step_ms_128rays": round(s1_128, 2),
+            "stage2_step_ms_128rays": round(s2_128, 2),
+            "sec_per_image_128rays": round(
+                (STAGE1_STEPS * s1_128 + STAGE2_STEPS * s2_128) / 1e3, 2),
+        })
+
+    final = {**headline, **extras,
+             "bench_elapsed_s": round(budget.elapsed(), 1)}
+    if budget.skipped:
+        final["skipped_sections"] = budget.skipped
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":
