@@ -88,6 +88,95 @@ def test_inception_shapes_and_converter():
     assert c["Conv2d_1a_3x3"]["conv"]["weight"].shape == (32, 3, 3, 3)
 
 
+def _synthetic_nvidia_inception_sd(fused=False):
+    """A state_dict in the NVIDIA detector's TF-graph naming with the
+    real architecture's shapes (derived by inverting the converter's
+    slot tables against the skeleton init)."""
+    from tgi.metrics.inception import (_NV_BLOCKS, _NV_BRANCH_BY_BLOCK,
+                                       _NV_STEM, inception_v3_init)
+    rng = np.random.RandomState(0)
+    skel = inception_v3_init(jax.random.PRNGKey(0))
+    inv_stem = {v: k for k, v in _NV_STEM.items()}
+    inv_blocks = {v: k for k, v in _NV_BLOCKS.items()}
+    sd = {}
+
+    def emit(prefix, shape):
+        out_c = shape[0]
+        sd[f"{prefix}.weight"] = rng.randn(*shape).astype(np.float32) * 0.02
+        if fused:
+            sd[f"{prefix}.bias"] = rng.randn(out_c).astype(np.float32) * 0.1
+        else:
+            sd[f"{prefix}.beta"] = rng.randn(out_c).astype(np.float32) * 0.1
+            sd[f"{prefix}.mean"] = rng.randn(out_c).astype(np.float32) * 0.1
+            sd[f"{prefix}.var"] = (rng.rand(out_c).astype(np.float32) * 0.5
+                                   + 0.5)
+
+    for block, sub in skel.items():
+        if "conv" in sub:
+            emit(f"layers.{inv_stem[block]}", sub["conv"]["weight"].shape)
+        else:
+            inv_branch = {v: k
+                          for k, v in _NV_BRANCH_BY_BLOCK[block].items()}
+            for name, node in sub.items():
+                emit(f"layers.{inv_blocks[block]}.{inv_branch[name]}",
+                     node["conv"]["weight"].shape)
+    sd["output.weight"] = rng.randn(1008, 2048).astype(np.float32) * 0.01
+    sd["output.bias"] = rng.randn(1008).astype(np.float32) * 0.01
+    return sd
+
+
+def test_nvidia_inception_converter():
+    """metric_utils.py:44-57 detector: the TF-named NVIDIA pickle layout
+    converts onto the torchvision-style slots; BN-separate and BN-folded
+    variants agree numerically; junk layouts fail loudly."""
+    from tgi.metrics.inception import (convert_nvidia_inception,
+                                       nvidia_detector_fn)
+    sd = _synthetic_nvidia_inception_sd(fused=False)
+    params = convert_nvidia_inception(sd)
+    imgs = (np.random.RandomState(1).rand(2, 3, 128, 128) * 255
+            ).astype(np.float32)
+    feats = nvidia_detector_fn(params)(jnp.asarray(imgs))
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()
+    logits = nvidia_detector_fn(params, return_logits=True)(
+        jnp.asarray(imgs))
+    assert logits.shape == (2, 1008)
+    nb = nvidia_detector_fn(params, return_logits=True,
+                            no_output_bias=True)(jnp.asarray(imgs))
+    np.testing.assert_allclose(
+        np.asarray(logits) - np.asarray(nb),
+        np.tile(np.asarray(params["fc"]["bias"]), (2, 1)), atol=1e-5)
+
+    # BN-folded twin: fold each node's stats into (weight, bias) with
+    # the apply path's eps and require identical features.
+    eps = 1e-3
+    fused = {}
+    for k, v in sd.items():
+        if k.endswith(".weight") and v.ndim == 4:
+            prefix = k[:-len(".weight")]
+            var = sd[f"{prefix}.var"]
+            scale = 1.0 / np.sqrt(var + eps)
+            fused[k] = v * scale[:, None, None, None]
+            fused[f"{prefix}.bias"] = (sd[f"{prefix}.beta"]
+                                       - sd[f"{prefix}.mean"] * scale)
+        elif k.startswith("output."):
+            fused[k] = v
+    params_fused = convert_nvidia_inception(fused)
+    feats_fused = nvidia_detector_fn(params_fused)(jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(feats_fused), np.asarray(feats),
+                               rtol=1e-3, atol=1e-5)
+
+    # Fail-loud: unknown node name / missing block.
+    import pytest as _pytest
+    bad = dict(sd)
+    bad["layers.mixed_11.conv.weight"] = np.zeros((8, 8, 1, 1), np.float32)
+    with _pytest.raises(ValueError, match="unrecognized"):
+        convert_nvidia_inception(bad)
+    partial = {k: v for k, v in sd.items() if "mixed_9" not in k}
+    with _pytest.raises(ValueError, match="missing"):
+        convert_nvidia_inception(partial)
+
+
 def test_locality_regularizer(tiny):
     from tgi.losses.locality import LocalityConfig, SpaceRegularizer
     from tgi.losses.lpips import LPIPSLoss
@@ -267,3 +356,78 @@ def test_render_orbit_shape_export(tiny, tmp_path):
     assert plys == ["0000_shape.ply", "0001_shape.ply"]
     head = (tmp_path / "sh" / "0000_shape.ply").read_bytes()[:200]
     assert head.startswith(b"ply")
+
+
+def test_ganspace_component_loader(tmp_path):
+    """Shipped-basis loader (ganspace/pca_comp/*.npy, run_ganspace.py:66):
+    accepts [K, w_dim] unit-norm rows, rejects transposed/denormalized
+    layouts loudly."""
+    from tgi.apps.ganspace import load_components
+    rng = np.random.RandomState(0)
+    q, _ = np.linalg.qr(rng.randn(512, 512))
+    comps = q.T.astype(np.float32)          # rows orthonormal
+    p = tmp_path / "pca.npy"
+    np.save(p, comps)
+    loaded = load_components(str(p))
+    np.testing.assert_allclose(loaded, comps, atol=0)
+    # Truncated basis is still valid (K < w_dim rows)...
+    np.save(p, comps[:10])
+    assert load_components(str(p)).shape == (10, 512)
+    # ...but wrong w_dim and non-unit rows fail loudly.
+    np.save(p, comps[:, :100])
+    with pytest.raises(ValueError, match="expected"):
+        load_components(str(p))
+    np.save(p, comps * 3.0)
+    with pytest.raises(ValueError, match="unit-norm"):
+        load_components(str(p))
+    # The real reference artifacts pass validation when present.
+    ref = "/root/reference/ganspace/pca_comp/pca_ffhqrebalanced_10_5_frontcam.npy"
+    if os.path.exists(ref):
+        assert load_components(ref).shape == (512, 512)
+
+
+def test_ganspace_edit_matches_reference_math():
+    """edit_ws/edit_sweep vs a literal NumPy transcription of
+    run_ganspace.py:28-40: V = comps.T, one-hot control * power,
+    direction matrix over [start_layer, start_layer+layer_num)."""
+    from tgi.apps.ganspace import DIRECTIONS, edit_ws
+    rng = np.random.RandomState(1)
+    comps = np.linalg.qr(rng.randn(512, 512))[0].T.astype(np.float32)
+    w = rng.randn(1, 14, 512).astype(np.float32)
+
+    for name, spec in DIRECTIONS.items():
+        idx, (lo, hi), power = spec["comp"], spec["layers"], spec["strength"]
+        # Reference math.
+        V = comps.T                                   # [512, K]
+        control = np.zeros(512, np.float32)
+        control[idx] = power
+        direction = (V @ control).reshape(1, 1, 512)  # [1, 1, 512]
+        dmat = np.zeros((1, 14, 512), np.float32)
+        dmat[0, lo:hi, :] = direction
+        assert lo + (hi - lo) <= 14, name             # run_ganspace.py:24
+        # tgi path.
+        ours = np.asarray(edit_ws(w, comps, idx, power, (lo, hi)))
+        np.testing.assert_allclose(ours, w + dmat, atol=1e-6)
+
+
+def test_ganspace_sweep(tiny, tmp_path):
+    """edit_sweep's control schedule: num_imgs powers linearly spanning
+    [-edit_power, +edit_power] (run_ganspace.py:32), direction matrices
+    returned per image."""
+    from tgi.apps.ganspace import edit_sweep
+    from tests.test_generator import camera_batch
+    G, params = tiny
+    comps = np.linalg.qr(
+        np.random.RandomState(2).randn(32, 32))[0].T.astype(np.float32)
+    w = jnp.zeros((1, G.cfg.num_ws, 32))
+    imgs, dirs = edit_sweep(G, params, w, camera_batch(1), comps,
+                            comp_idx=3, layers=(0, 5), edit_power=2.0,
+                            num_imgs=3, outdir=str(tmp_path))
+    assert imgs.shape[0] == 3 and dirs.shape == (3, G.cfg.num_ws, 32)
+    # Powers -2, 0, +2: middle image is the unedited render.
+    np.testing.assert_allclose(dirs[1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(dirs[0], -dirs[2], atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(dirs[2][:5], axis=-1), 2.0, atol=1e-4)
+    assert np.asarray(jnp.abs(imgs[0] - imgs[2])).mean() > 0
+    assert os.path.exists(tmp_path / "sweep_grid.png")
