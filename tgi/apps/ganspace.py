@@ -18,14 +18,43 @@ import jax.numpy as jnp
 
 from tgi.render.cameras import (fov_to_intrinsics, look_at_pose, pack_camera)
 
-# Curated directions (component index, layer range, strength) mirroring
-# run_ganspace.py:71-79.
+# Curated directions (run_ganspace.py:71-79, verbatim values):
+# (idx_comp, start_layer, layer_num, edit_power). The component indices
+# index the SHIPPED precomputed bases (ganspace/pca_comp/*.npy, rows =
+# unit-norm PCs) — load them with :func:`load_components`; against a
+# self-computed PCA they are meaningless.
 DIRECTIONS = {
-    "smile": dict(comp=22, layers=(3, 6), strength=-24),
-    "age": dict(comp=17, layers=(3, 7), strength=-18),
-    "glasses": dict(comp=11, layers=(0, 4), strength=16),
-    "gender": dict(comp=1, layers=(0, 5), strength=-9),
+    "bright hair": dict(comp=2, layers=(7, 14), strength=4),
+    "smile": dict(comp=12, layers=(0, 5), strength=2),
+    "age": dict(comp=5, layers=(0, 5), strength=3.5),      # negative: young
+    "short hair": dict(comp=2, layers=(0, 5), strength=4),  # negative
+    "glass": dict(comp=4, layers=(0, 5), strength=4),       # negative
+    "gender": dict(comp=0, layers=(0, 5), strength=4),      # neg: f -> m
 }
+
+
+def load_components(path, w_dim=512):
+    """Load a reference precomputed PCA basis (ganspace/pca_comp/*.npy).
+
+    The shipped files are [K, w_dim] float32 with rows = unit-norm
+    principal components in decreasing-variance order — the layout
+    :func:`compute_pca` also returns and :func:`edit_ws` consumes
+    (run_ganspace.py:66 loads the file; :28 transposes to [w_dim, K]
+    columns, then picks column ``idx_comp`` — i.e. row ``idx_comp``
+    here). Validates shape and row normalization so a transposed or
+    truncated basis fails loudly.
+    """
+    comps = np.load(path)
+    if comps.ndim != 2 or comps.shape[1] != w_dim:
+        raise ValueError(f"PCA components {path}: expected [K, {w_dim}], "
+                         f"got {comps.shape}")
+    norms = np.linalg.norm(comps, axis=1)
+    if not np.allclose(norms, 1.0, atol=1e-3):
+        raise ValueError(
+            f"PCA components {path}: rows are not unit-norm "
+            f"(min {norms.min():.4f}, max {norms.max():.4f}) — "
+            "transposed basis?")
+    return np.asarray(comps, np.float32)
 
 
 def compute_pca(G, params, *, num_samples=100_000, batch=4096, key=None,
@@ -72,6 +101,35 @@ def edit_ws(ws, components, comp_idx, strength, layers):
     ws = jnp.asarray(ws)
     edited = ws.at[:, lo:hi, :].add(strength * direction)
     return edited
+
+
+def edit_sweep(G, params, ws, camera, components, *, comp_idx,
+               layers=(0, 12), edit_power=1.0, num_imgs=5, outdir=None,
+               name="sweep"):
+    """Render ``num_imgs`` edits with control linearly swept from
+    ``-edit_power`` to ``+edit_power`` (run_ganspace.py:30-52's grid).
+
+    Returns (images [num_imgs, 3, H, W], directions [num_imgs, num_ws,
+    w_dim]) — the per-image additive direction matrices the reference
+    also returns.
+    """
+    ws = jnp.asarray(ws)
+    powers = (np.linspace(-edit_power, edit_power, num_imgs)
+              if num_imgs > 1 else np.asarray([edit_power]))
+    imgs, dirs = [], []
+    synth = jax.jit(lambda w: G.synthesis(params, w, camera,
+                                          det=True)["image"])
+    for p in powers:
+        edited = edit_ws(ws, components, comp_idx, float(p), layers)
+        imgs.append(synth(edited)[0])
+        dirs.append(np.asarray(edited - ws)[0])
+    imgs = jnp.stack(imgs)
+    if outdir:
+        from tgi.utils.image import save_image_grid
+        os.makedirs(outdir, exist_ok=True)
+        save_image_grid(os.path.join(outdir, f"{name}_grid.png"),
+                        np.asarray(imgs))
+    return imgs, np.stack(dirs)
 
 
 def edit_and_render(G, params, ws, camera, components, *, direction=None,
