@@ -9,6 +9,7 @@ torch. The harness itself is smoke-tested on a tiny random SG3 (alias-
 free by construction, so PSNRs must come out high and finite).
 """
 
+import math
 import os
 import sys
 
@@ -113,3 +114,67 @@ def test_eq_harness_on_sg3():
     assert set(out) == {"eqt_int", "eqt_frac", "eqr"}
     for k, v in out.items():
         assert np.isfinite(v) and v > 15, (k, v)
+
+
+class _AnalyticFourierG:
+    """Transform-exact synthetic generator: implements the SG3 input
+    layer's transform semantics (synthesis_input_apply — feature(x) =
+    sin(2pi(f.(M[:2,:2]x + M[:2,2]) + phi)), pixel-center grid spanning
+    one image width) with a closed-form bandlimited pattern, so its
+    equivariance under the metric harness's conventions is ANALYTIC, not
+    architectural. ``flip=True`` applies the inverse transform — an
+    opposite-convention generator the harness must score low."""
+
+    def __init__(self, res=64, n_freq=6, flip=False, seed=3):
+        from types import SimpleNamespace
+        self.cfg = SimpleNamespace(img_resolution=res, z_dim=n_freq)
+        rng = np.random.RandomState(seed)
+        ang = rng.rand(n_freq) * 2 * np.pi
+        rad = rng.rand(n_freq) * 8.0 + 2.0       # 2-10 cycles/image
+        self.freqs = jnp.asarray(
+            np.stack([np.cos(ang), np.sin(ang)], 1) * rad[:, None],
+            jnp.float32)
+        self.phases = jnp.asarray(rng.rand(n_freq).astype(np.float32))
+        self.flip = flip
+
+    def init_params(self):
+        return {"synthesis": {"input": {"transform": jnp.eye(3)}}}
+
+    def __call__(self, params, z, c):
+        m = jnp.asarray(params["synthesis"]["input"]["transform"],
+                        jnp.float32)
+        if self.flip:
+            m = jnp.linalg.inv(m)
+        freqs = self.freqs @ m[:2, :2]                    # f M
+        phases = self.phases + self.freqs @ m[:2, 2]      # f . m_t
+        res = self.cfg.img_resolution
+        lin = (jnp.arange(res) + 0.5) / res - 0.5
+        gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+        grid = jnp.stack([gx, gy], -1)                    # [H, W, 2]
+        feats = jnp.sin(2 * jnp.pi *
+                        (jnp.einsum("hwx,cx->hwc", grid, freqs) + phases))
+        mix = z[:, :self.freqs.shape[0]] / math.sqrt(self.freqs.shape[0])
+        return jnp.einsum("hwc,nc->nhw", feats, mix)[:, None]
+
+
+def test_eq_harness_directional():
+    """End-to-end sign/convention validation (the architectural SG3 test
+    can't catch an error that lowers both sides equally): the
+    analytically-equivariant generator scores HIGH on every metric, the
+    opposite-convention one scores LOW, with a decisive gap."""
+    from tgi.metrics.equivariance import compute_equivariance_metrics
+
+    def run(flip):
+        G = _AnalyticFourierG(flip=flip)
+        return compute_equivariance_metrics(
+            G, G.init_params(), num_samples=8, batch_size=4,
+            eqt_int=True, eqt_frac=True, eqr=True, seed=1)
+
+    good, bad = run(False), run(True)
+    # Integer translation of the closed-form pattern is exact.
+    assert good["eqt_int"] > 60, good
+    assert good["eqt_frac"] > 35, good
+    assert good["eqr"] > 30, good
+    for k in good:
+        assert bad[k] < 25, (k, bad)
+        assert good[k] - bad[k] > 15, (k, good, bad)
