@@ -79,7 +79,8 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             use_locality_reg=False, camera_mode="quat", first_inv_steps=400,
             max_pti_steps=400, gen_video=True, gen_mesh=False,
             do_evaluation=False, save_pivot=True, use_last_w_pivots=False,
-            visualize_opt=False, tensorboard=False, seed=0):
+            visualize_opt=False, tensorboard=False, use_wandb=False,
+            seed=0):
     """Invert every image in ``image_dir``. Returns per-image results."""
     from tgi.invert import (CoachConfig, PTICoach, Projector,
                             ProjectorConfig)
@@ -122,6 +123,15 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
     if tensorboard:
         from tgi.utils.opt_viz import TBWriter
         tb = TBWriter(os.path.join(out_dir, "tb"))
+    if use_wandb:
+        # base_coach.py:107-115 / log_utils.py:9-21 hooks (offline mode
+        # by default; see WandbWriter).
+        from tgi.utils.opt_viz import FanoutWriter, WandbWriter
+        wb = WandbWriter(project="tgi-pti",
+                         config=dict(first_inv_steps=first_inv_steps,
+                                     max_pti_steps=max_pti_steps,
+                                     camera_mode=camera_mode))
+        tb = wb if tb is None else FanoutWriter([tb, wb])
 
     results = []
     key = jax.random.PRNGKey(seed)
@@ -257,10 +267,14 @@ def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
                    "steps (w_projector.py:193-212)")
 @click.option("--tensorboard/--no-tensorboard", default=False,
               help="mirror metrics/images to <outdir>/tb (log_utils.py)")
+@click.option("--wandb/--no-wandb", "use_wandb", default=False,
+              help="mirror metrics/images to wandb (offline mode; "
+                   "base_coach.py:107-115 hooks)")
 def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
          arcface_weights, lpips_weights, lpips_type, use_locality_reg,
          allow_random_init, camera_mode, first_inv_steps, max_pti_steps,
-         gen_video, gen_mesh, do_evaluation, visualize_opt, tensorboard):
+         gen_video, gen_mesh, do_evaluation, visualize_opt, tensorboard,
+         use_wandb):
     from tgi.models.alexnet import (alex_head_init, alexnet_init,
                                     convert_lpips_alex)
     from tgi.models.pose_resnet import (convert_torch_state_dict,
@@ -355,7 +369,7 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
             first_inv_steps=first_inv_steps, max_pti_steps=max_pti_steps,
             gen_video=gen_video, gen_mesh=gen_mesh,
             do_evaluation=do_evaluation, visualize_opt=visualize_opt,
-            tensorboard=tensorboard)
+            tensorboard=tensorboard, use_wandb=use_wandb)
 
 
 if __name__ == "__main__":

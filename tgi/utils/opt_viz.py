@@ -71,6 +71,95 @@ class TBWriter:
             self._w.close()
 
 
+class WandbWriter:
+    """wandb mirror of the reference's ``use_wandb`` hooks
+    (base_coach.py:107-115, utils/log_utils.py:9-21), duck-type
+    compatible with :class:`TBWriter` — pass it anywhere a ``tb`` writer
+    is accepted. Defaults WANDB_MODE=offline (zero-egress environments;
+    runs sync later with ``wandb sync``) and degrades to a no-op when
+    the wandb package is unavailable."""
+
+    def __init__(self, project="tgi", run_name=None, config=None):
+        self._run = None
+        self._wandb = None
+        try:                        # pragma: no cover - env without wandb
+            os.environ.setdefault("WANDB_MODE", "offline")
+            import wandb
+            self._run = wandb.init(project=project, name=run_name,
+                                   config=dict(config or {}))
+            self._wandb = wandb
+        except Exception:
+            pass
+
+    @property
+    def active(self):
+        return self._run is not None
+
+    def scalar(self, tag, value, step):
+        if self._run is not None:
+            self._wandb.log({tag: float(value)}, step=int(step))
+
+    def scalars(self, values: dict, step, prefix=""):
+        if self._run is None:
+            return
+        out = {}
+        for k, v in values.items():
+            try:
+                out[prefix + k] = float(np.asarray(v))
+            except (TypeError, ValueError):
+                pass
+        if out:
+            self._wandb.log(out, step=int(step))
+
+    def image(self, tag, img_chw, step, input_range=(-1, 1)):
+        """img_chw: [3, H, W] in input_range (log_image_from_w parity)."""
+        if self._run is None:
+            return
+        lo, hi = input_range
+        arr = (np.asarray(img_chw, np.float32) - lo) / (hi - lo)
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8).transpose(1, 2, 0)
+        self._wandb.log({tag: self._wandb.Image(arr)}, step=int(step))
+
+    def flush(self):
+        pass
+
+    def close(self):
+        if self._run is not None:
+            self._run.finish()
+
+
+class FanoutWriter:
+    """Broadcast to several TBWriter-interface writers (e.g. TB + wandb
+    together, matching reference runs that log to both)."""
+
+    def __init__(self, writers):
+        self.writers = [w for w in writers if w is not None]
+
+    @property
+    def active(self):
+        return any(w.active for w in self.writers)
+
+    def scalar(self, tag, value, step):
+        for w in self.writers:
+            w.scalar(tag, value, step)
+
+    def scalars(self, values, step, prefix=""):
+        for w in self.writers:
+            w.scalars(values, step, prefix=prefix)
+
+    def image(self, tag, img_chw, step, input_range=(-1, 1)):
+        for w in self.writers:
+            w.image(tag, img_chw, step, input_range=input_range)
+
+    def flush(self):
+        for w in self.writers:
+            w.flush()
+
+    def close(self):
+        for w in self.writers:
+            w.close()
+
+
 def make_projection_snapshotter(proj, out_dir, name, *, save_warp=True,
                                 tb: TBWriter | None = None):
     """Build a ``snapshot_fn(step, train_state)`` for Projector.project.
