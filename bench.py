@@ -182,6 +182,46 @@ def measure_batched_stage1(G, *, params, vgg, head, pose, B, ns=8):
     return t * 1e3 / ns / B
 
 
+def measure_batched_stage2(G, *, params, ws, c, lp, B, ns=6):
+    """Stage-2 step ms PER IMAGE with B per-image generator copies tuned
+    simultaneously (PTICoach.tune_batch semantics: weights diverge per
+    image, vmapped convs batch the B copies on the MXU; remat bounds the
+    B x 512^2 activation memory)."""
+    import optax
+
+    from tgi.invert import CoachConfig, PTICoach
+
+    coach = PTICoach(G, lp, CoachConfig(remat=True))
+    ws_b = jnp.tile(ws[None], (B, 1, 1, 1))
+    c_b = jnp.tile(c[None], (B, 1, 1))
+    real_b = jnp.zeros((B, 1, 3, 512, 512))
+
+    def one_step(p, os_, k, w, cc, t):
+        g, _ = jax.grad(coach._loss, has_aux=True)(p, w, cc, t, k)
+        upd, os_ = coach.opt.update(g, os_, p)
+        return optax.apply_updates(p, upd), os_
+
+    vstep = jax.vmap(one_step)
+    params_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    opt_b = jax.vmap(coach.opt.init)(params_b)
+
+    @jax.jit
+    def scan(pb, ob, key):
+        def body(carry, _):
+            pb, ob, k = carry
+            k, kk = jax.random.split(k)
+            pb, ob = vstep(pb, ob, jax.random.split(kk, B), ws_b, c_b,
+                           real_b)
+            return (pb, ob, k), None
+        carry, _ = jax.lax.scan(body, (pb, ob, key), None, length=ns)
+        return carry[0][0]["decoder"]["net0"]["weight"]
+
+    t = timeit(lambda: scan(params_b, opt_b, jax.random.PRNGKey(3)),
+               warmup=1, iters=3)
+    return t * 1e3 / ns / B
+
+
 def main():
     import optax
 
@@ -307,6 +347,15 @@ def main():
             extras[f"batched_stage1_step_ms_per_image_b{B}"] = round(s1b, 2)
             extras[f"batched_sec_per_image_b{B}"] = round(
                 (STAGE1_STEPS * s1b + STAGE2_STEPS * stage2_ms) / 1e3, 2)
+            if os.environ.get("TGI_BENCH_BATCHED_S2", "1") != "1" or \
+                    not budget.allow(f"batched_s2_b{B}", 420):
+                continue
+            s2b = measure_batched_stage2(G, params=params, ws=ws, c=c,
+                                         lp=lp, B=B)
+            extras[f"batched_stage2_step_ms_per_image_b{B}"] = round(s2b, 2)
+            # Fully-batched schedule: both stages amortized across B.
+            extras[f"batched_sec_per_image_full_b{B}"] = round(
+                (STAGE1_STEPS * s1b + STAGE2_STEPS * s2b) / 1e3, 2)
 
     # 6) Batched self-inversion quality: the same closed-loop gate at
     # B=4 — image 0 reuses section 4's exact (z, cam*) so its metrics

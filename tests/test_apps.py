@@ -431,3 +431,54 @@ def test_ganspace_sweep(tiny, tmp_path):
         np.linalg.norm(dirs[2][:5], axis=-1), 2.0, atol=1e-4)
     assert np.asarray(jnp.abs(imgs[0] - imgs[2])).mean() > 0
     assert os.path.exists(tmp_path / "sweep_grid.png")
+
+
+def test_run_pti_batched_app(tiny, tmp_path):
+    """run_pti(batch=2) end-to-end app plumbing: chunked pivot reload,
+    PTICoach.tune_batch stage 2, per-lane artifact emission (grids,
+    tuned ckpts, metrics, results.json). Stage 1's batched path is
+    covered by the slow project_batch test + the multichip dryrun; here
+    pre-saved pivots exercise the use_last_w_pivots branch (whole-chunk
+    reuse, base_coach.py:69-77 semantics at B > 1)."""
+    from tests.test_generator import camera_batch
+    from tgi.apps.run_pti import run_pti
+    from tgi.models.pose_resnet import resnet34_init
+    from tgi.models.vgg import lpips_head_init, vgg16_init
+    from tgi.utils.image import save_image
+
+    G, params = tiny
+    key = jax.random.PRNGKey(0)
+    kv, kh, kp = jax.random.split(key, 3)
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "out"
+    os.makedirs(img_dir)
+    os.makedirs(out_dir)
+
+    c = camera_batch(1)
+    for i, name in enumerate(["a", "b"]):
+        ws = jnp.full((1, G.cfg.num_ws, 32), 0.05 * i)
+        img = G.synthesis(params, ws, c, det=True)["image"]
+        save_image(str(img_dir / f"{name}.png"), np.asarray(img)[0])
+        np.save(out_dir / f"{name}_ws.npy", np.asarray(ws))
+        np.save(out_dir / f"{name}_cam.npy", np.asarray(c))
+
+    results = run_pti(
+        str(img_dir), str(out_dir), G=G, gen_params=params,
+        pose_params=resnet34_init(kp, output_dims=4),
+        vgg_params=vgg16_init(kv), lpips_head=lpips_head_init(kh),
+        lpips_type="vgg", max_pti_steps=2, gen_video=False,
+        gen_mesh=False, do_evaluation=True, use_last_w_pivots=True,
+        batch=2)
+
+    assert len(results) == 2
+    assert [r["image"] for r in results] == ["a", "b"]
+    for r in results:
+        assert 0 <= r["pti_steps"] <= 2
+        assert np.isfinite(r["final_lpips"])
+        assert np.isfinite(r["ms_ssim"])
+    for name in ("a", "b"):
+        assert os.path.exists(out_dir / f"{name}.png")
+        assert os.path.exists(out_dir / f"{name}_pivot.png")
+        assert os.path.exists(out_dir / f"{name}_G.ckpt")
+        assert os.path.exists(out_dir / f"{name}metrics.txt")
+    assert os.path.exists(out_dir / "results.json")

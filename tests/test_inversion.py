@@ -259,3 +259,55 @@ def test_projection_snapshots(setup, tmp_path):
     assert "2.png" in files and "6.png" in files
     assert "warp_2.png" in files
     assert ws.shape[1] == setup["G"].cfg.num_ws
+
+
+def test_tune_batch_matches_sequential(setup):
+    """tune_batch == B sequential tune calls up to batched-matmul
+    reassociation (vmapped convs reduce in a different order, ~1e-7
+    drift; per-image early-stop lanes freeze exactly —
+    single_id_coach.py:40-77 semantics at B > 1)."""
+    G = setup["G"]
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=3))
+    c = camera_batch(1)
+    ws0 = jnp.zeros((1, G.cfg.num_ws, 32))
+    ws1 = jnp.full((1, G.cfg.num_ws, 32), 0.1)
+    reals = jnp.stack([
+        G.synthesis(setup["gen"], ws0, c, det=True)["image"],
+        G.synthesis(setup["gen"], ws1, c, det=True)["image"]])
+    pivots = jnp.stack([ws0, ws1])
+    cams = jnp.stack([c, c])
+
+    key = jax.random.PRNGKey(11)
+    tuned_b, info_b = coach.tune_batch(key, setup["gen"], pivots, cams,
+                                       reals)
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        tuned_i, info_i = coach.tune(keys[i], setup["gen"], pivots[i],
+                                     cams[i], reals[i])
+        assert int(info_b["steps"][i]) == int(info_i["steps"])
+        np.testing.assert_allclose(
+            np.asarray(info_b["final_lpips"][i]),
+            np.asarray(info_i["final_lpips"]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_map(
+                lambda x: x[i], tuned_b)["decoder"]["net0"]["weight"]),
+            np.asarray(tuned_i["decoder"]["net0"]["weight"]), atol=1e-5)
+
+
+def test_tune_batch_remat_matches(setup):
+    """CoachConfig(remat=True) changes memory, not math."""
+    G = setup["G"]
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    c = camera_batch(1)
+    ws = jnp.zeros((1, G.cfg.num_ws, 32))
+    real = G.synthesis(setup["gen"], ws, c, det=True)["image"]
+    outs = []
+    for remat in (False, True):
+        coach = PTICoach(G, lp, CoachConfig(max_pti_steps=2, remat=remat))
+        tuned, info = coach.tune(jax.random.PRNGKey(5), setup["gen"], ws,
+                                 c, real)
+        outs.append((np.asarray(tuned["decoder"]["net0"]["weight"]),
+                     int(info["steps"])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+    assert outs[0][1] == outs[1][1]

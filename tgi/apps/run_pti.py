@@ -80,8 +80,16 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
             max_pti_steps=400, gen_video=True, gen_mesh=False,
             do_evaluation=False, save_pivot=True, use_last_w_pivots=False,
             visualize_opt=False, tensorboard=False, use_wandb=False,
-            seed=0):
-    """Invert every image in ``image_dir``. Returns per-image results."""
+            seed=0, batch=1):
+    """Invert every image in ``image_dir``. Returns per-image results.
+
+    ``batch > 1`` inverts that many images SIMULTANEOUSLY — stage 1 via
+    Projector.project_batch, stage 2 via PTICoach.tune_batch — with the
+    reference's per-image optimization semantics preserved exactly
+    (vmapped per-image states; w_projector.py:62,120-131,
+    single_id_coach.py:40-77): numerically equivalent to batch=1 up to
+    batched-matmul reassociation, at amortized per-image wall-clock.
+    """
     from tgi.invert import (CoachConfig, PTICoach, Projector,
                             ProjectorConfig)
     from tgi.losses.lpips import make_lpips
@@ -102,7 +110,9 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
 
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      ProjectorConfig(num_steps=first_inv_steps,
-                                     camera_mode=camera_mode),
+                                     camera_mode=camera_mode,
+                                     # bound B x two-view residual memory
+                                     remat_render=batch > 1),
                      e4e_encode=e4e_encode)
     # Stage-2 tuning loss: AlexNet-LPIPS by default, matching the
     # reference's LPIPS(net=hyperparameters.lpips_type) (base_coach.py:48,
@@ -117,7 +127,8 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
         # coach at loss time.
         from tgi.losses.locality import SpaceRegularizer
         locality = SpaceRegularizer(G, gen_params, lp, camera=None)
-    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=max_pti_steps),
+    coach = PTICoach(G, lp, CoachConfig(max_pti_steps=max_pti_steps,
+                                        remat=batch > 1),
                      locality_regularizer=locality)
     tb = None
     if tensorboard:
@@ -135,39 +146,14 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
 
     results = []
     key = jax.random.PRNGKey(seed)
-    for path in list_images(image_dir):
-        name = os.path.splitext(os.path.basename(path))[0]
-        t0 = time.time()
-        key, k_proj, k_tune = jax.random.split(key, 3)
 
-        img = load_image(path, size=G.cfg.img_resolution)   # [-1,1]
-        target_255 = jnp.asarray(
-            (load_image(path, size=256) + 1) * 127.5)
+    def pivot_files(name):
+        return (os.path.join(out_dir, f"{name}_ws.npy"),
+                os.path.join(out_dir, f"{name}_cam.npy"))
 
-        # Stage 1 (or reload saved pivots — base_coach.py:69-77's
-        # use_last_w_pivots resume path).
-        ws_file = os.path.join(out_dir, f"{name}_ws.npy")
-        cam_file = os.path.join(out_dir, f"{name}_cam.npy")
-        if use_last_w_pivots and os.path.exists(ws_file) \
-                and os.path.exists(cam_file):
-            ws = jnp.asarray(np.load(ws_file))
-            cam = jnp.asarray(np.load(cam_file))
-        else:
-            snapshot_fn = None
-            if visualize_opt:
-                from tgi.utils.opt_viz import make_projection_snapshotter
-                snapshot_fn = make_projection_snapshotter(proj, out_dir,
-                                                          name, tb=tb)
-            ws, cam, state, metrics = proj.project(
-                k_proj, target_255, snapshot_fn=snapshot_fn,
-                target_full=img)
-            if tb is not None:
-                losses = np.asarray(metrics["loss"])
-                for s, v in enumerate(losses):
-                    tb.scalar(f"{name}/projection_loss", v, s)
-            np.save(ws_file, np.asarray(ws))
-            np.save(cam_file, np.asarray(cam))
-
+    def emit_outputs(name, img, ws, cam, tuned, info, t0):
+        """Per-image artifacts after both stages (single_id_coach.py
+        :57-62, 80-116): grids, orbit videos, tuned ckpt, mesh, metrics."""
         pivot_out = G.synthesis(gen_params, ws, cam, det=True)
         if save_pivot:
             save_image_grid(os.path.join(out_dir, f"{name}_pivot.png"),
@@ -180,9 +166,6 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
                              os.path.join(out_dir, f"{name}_pivot.mp4"),
                              num_frames=60, batch=4)
 
-        # Stage 2.
-        tuned, info = coach.tune(k_tune, gen_params, ws, cam,
-                                 jnp.asarray(img))
         final_out = G.synthesis(tuned, ws, cam, det=True)
         save_image_grid(os.path.join(out_dir, f"{name}.png"),
                         np.concatenate([np.asarray(img),
@@ -215,9 +198,107 @@ def run_pti(image_dir, out_dir, *, G, gen_params, pose_params, vgg_params,
                       "w") as f:
                 json.dump(entry, f, indent=1)
         results.append(entry)
+
+    if batch > 1:
+        if visualize_opt:
+            raise ValueError("--visualize-opt needs per-image snapshot "
+                             "callbacks; run with batch=1")
+        _run_batched(list_images(image_dir), out_dir, batch=batch, G=G,
+                     gen_params=gen_params, proj=proj, coach=coach, tb=tb,
+                     key=key, use_last_w_pivots=use_last_w_pivots,
+                     pivot_files=pivot_files, emit_outputs=emit_outputs)
+    else:
+        for path in list_images(image_dir):
+            name = os.path.splitext(os.path.basename(path))[0]
+            t0 = time.time()
+            key, k_proj, k_tune = jax.random.split(key, 3)
+
+            img = load_image(path, size=G.cfg.img_resolution)   # [-1,1]
+            target_255 = jnp.asarray(
+                (load_image(path, size=256) + 1) * 127.5)
+
+            # Stage 1 (or reload saved pivots — base_coach.py:69-77's
+            # use_last_w_pivots resume path).
+            ws_file, cam_file = pivot_files(name)
+            if use_last_w_pivots and os.path.exists(ws_file) \
+                    and os.path.exists(cam_file):
+                ws = jnp.asarray(np.load(ws_file))
+                cam = jnp.asarray(np.load(cam_file))
+            else:
+                snapshot_fn = None
+                if visualize_opt:
+                    from tgi.utils.opt_viz import make_projection_snapshotter
+                    snapshot_fn = make_projection_snapshotter(
+                        proj, out_dir, name, tb=tb)
+                ws, cam, state, metrics = proj.project(
+                    k_proj, target_255, snapshot_fn=snapshot_fn,
+                    target_full=img)
+                if tb is not None:
+                    losses = np.asarray(metrics["loss"])
+                    for s, v in enumerate(losses):
+                        tb.scalar(f"{name}/projection_loss", v, s)
+                np.save(ws_file, np.asarray(ws))
+                np.save(cam_file, np.asarray(cam))
+
+            # Stage 2.
+            tuned, info = coach.tune(k_tune, gen_params, ws, cam,
+                                     jnp.asarray(img))
+            emit_outputs(name, img, ws, cam, tuned, info, t0)
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     return results
+
+
+def _run_batched(paths, out_dir, *, batch, G, gen_params, proj, coach, tb,
+                 key, use_last_w_pivots, pivot_files, emit_outputs):
+    """Chunked batched inversion: ``batch`` images at a time through
+    Projector.project_batch (stage 1) + PTICoach.tune_batch (stage 2),
+    then the standard per-image artifact pass. A chunk reuses saved
+    pivots only when EVERY image in it has them (a partial chunk would
+    change the batch shape and force a recompile per combination)."""
+    from tgi.utils.image import load_image
+
+    for lo in range(0, len(paths), batch):
+        chunk = paths[lo:lo + batch]
+        names = [os.path.splitext(os.path.basename(p))[0] for p in chunk]
+        t0 = time.time()
+        key, k_proj, k_tune = jax.random.split(key, 3)
+
+        imgs = [load_image(p, size=G.cfg.img_resolution) for p in chunk]
+        t255s = jnp.stack([jnp.asarray((load_image(p, size=256) + 1)
+                                       * 127.5) for p in chunk])
+
+        files = [pivot_files(n) for n in names]
+        if use_last_w_pivots and all(os.path.exists(f) for pair in files
+                                     for f in pair):
+            ws_b = jnp.stack([jnp.asarray(np.load(wf)) for wf, _ in files])
+            cams_b = jnp.stack([jnp.asarray(np.load(cf))
+                                for _, cf in files])
+        else:
+            ws_b, cams_b, _state, metrics = proj.project_batch(
+                k_proj, t255s,
+                targets_warp=jnp.stack([jnp.asarray(i) for i in imgs]))
+            if tb is not None:
+                losses = np.asarray(metrics["loss"])   # [steps, B]
+                for b, name in enumerate(names):
+                    for s in range(losses.shape[0]):
+                        tb.scalar(f"{name}/projection_loss",
+                                  losses[s, b], s)
+            for b, (wf, cf) in enumerate(files):
+                np.save(wf, np.asarray(ws_b[b]))
+                np.save(cf, np.asarray(cams_b[b]))
+
+        tuned_b, info_b = coach.tune_batch(
+            k_tune, gen_params, ws_b, cams_b,
+            jnp.stack([jnp.asarray(i) for i in imgs]))
+        stage_share = (time.time() - t0) / len(names)
+        for b, name in enumerate(names):
+            tuned = jax.tree_util.tree_map(lambda x: x[b], tuned_b)
+            info = {k: v[b] for k, v in info_b.items()}
+            # Per-image `sec` = amortized share of the batched stages
+            # plus this image's own artifact time.
+            emit_outputs(name, imgs[b], ws_b[b], cams_b[b], tuned, info,
+                         time.time() - stage_share)
 
 
 def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
@@ -259,6 +340,14 @@ def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
               type=click.Choice(["2d", "quat", "6d"]))
 @click.option("--first-inv-steps", default=400)
 @click.option("--max-pti-steps", default=400)
+@click.option("--batch", default=1,
+              help="invert N images simultaneously (project_batch + "
+                   "tune_batch; per-image semantics preserved, amortized "
+                   "wall-clock)")
+@click.option("--use-last-w-pivots/--no-use-last-w-pivots", default=False,
+              help="reload saved (ws, cam) pivots instead of re-running "
+                   "stage 1 (hyperparameters.use_last_w_pivots, "
+                   "base_coach.py:69-77)")
 @click.option("--video/--no-video", "gen_video", default=True)
 @click.option("--mesh/--no-mesh", "gen_mesh", default=False)
 @click.option("--eval/--no-eval", "do_evaluation", default=False)
@@ -273,8 +362,8 @@ def evaluate_reconstruction(gen_img, real_img, lpips_loss, arcface_params):
 def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
          arcface_weights, lpips_weights, lpips_type, use_locality_reg,
          allow_random_init, camera_mode, first_inv_steps, max_pti_steps,
-         gen_video, gen_mesh, do_evaluation, visualize_opt, tensorboard,
-         use_wandb):
+         batch, use_last_w_pivots, gen_video, gen_mesh, do_evaluation,
+         visualize_opt, tensorboard, use_wandb):
     from tgi.models.alexnet import (alex_head_init, alexnet_init,
                                     convert_lpips_alex)
     from tgi.models.pose_resnet import (convert_torch_state_dict,
@@ -369,7 +458,8 @@ def main(network, image_dir, out_dir, pose_weights, e4e_weights, vgg_weights,
             first_inv_steps=first_inv_steps, max_pti_steps=max_pti_steps,
             gen_video=gen_video, gen_mesh=gen_mesh,
             do_evaluation=do_evaluation, visualize_opt=visualize_opt,
-            tensorboard=tensorboard, use_wandb=use_wandb)
+            tensorboard=tensorboard, use_wandb=use_wandb, batch=batch,
+            use_last_w_pivots=use_last_w_pivots)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ class CoachConfig:
     pt_lpips_lambda: float = 1.0
     lpips_threshold: float = 0.06
     raw_resolution: int = 128
+    # Rematerialize the synthesis pass in the loss (trades one extra
+    # forward for activation memory — needed for batched tuning, where
+    # B generator copies' 512^2 activations coexist).
+    remat: bool = False
 
 
 class PTICoach:
@@ -54,8 +58,11 @@ class PTICoach:
 
     def _loss(self, params, w_pivot, camera, real_images, key):
         cfg = self.cfg
-        out = self.G.synthesis(params, w_pivot, camera, noise_mode="const",
-                               det=False, key=key)
+        synth = lambda p, w, c, k: self.G.synthesis(
+            p, w, c, noise_mode="const", det=False, key=k)
+        if cfg.remat:
+            synth = jax.checkpoint(synth)
+        out = synth(params, w_pivot, camera, key)
         if real_images.shape[-1] > cfg.raw_resolution:
             real_raw = area_downsample(real_images, cfg.raw_resolution)
         elif real_images.shape[-1] < cfg.raw_resolution:
@@ -108,7 +115,7 @@ class PTICoach:
             return (step < max_steps) & (lp > cfg.lpips_threshold)
 
         def body(carry):
-            step, params, opt_state, key, _ = carry
+            step, params, opt_state, key, lp_prev = carry
             key, k = jax.random.split(key)
             grads, aux = grad_fn(params, w_pivot, camera, real_images, k)
             updates, new_opt = self.opt.update(grads, opt_state, params)
@@ -116,15 +123,51 @@ class PTICoach:
             # The reference checks the threshold BEFORE stepping
             # (single_id_coach.py:69-73: break precedes optimizer.step),
             # so the update only lands when this step's LPIPS is above
-            # it; `step` counts applied updates.
-            go = aux["lpips"] > cfg.lpips_threshold
+            # it; `step` counts applied updates. `alive` (carried LPIPS
+            # still above threshold) is vacuously true under the
+            # sequential while_loop — its cond guarantees it — but makes
+            # the body idempotent for stopped lanes, so ``tune_batch``'s
+            # vmapped loop (which keeps running every lane until ALL
+            # lanes finish) leaves finished images exactly frozen.
+            alive = lp_prev > cfg.lpips_threshold
+            go = alive & (aux["lpips"] > cfg.lpips_threshold)
             sel = lambda a, b: jnp.where(go, b, a)
             params = jax.tree_util.tree_map(sel, params, new_params)
             opt_state = jax.tree_util.tree_map(sel, opt_state, new_opt)
-            return step + go.astype(jnp.int32), params, opt_state, key, \
-                aux["lpips"]
+            lp = jnp.where(alive, aux["lpips"], lp_prev)
+            return step + go.astype(jnp.int32), params, opt_state, key, lp
 
         carry = (jnp.asarray(0), params, opt_state, key, jnp.asarray(jnp.inf))
         step, params, opt_state, key, lp = jax.lax.while_loop(
             cond, body, carry)
         return params, {"steps": step, "final_lpips": lp}
+
+    def tune_batch(self, key, params, w_pivots, cameras, real_images,
+                   max_steps=None):
+        """Tune B per-image generator copies SIMULTANEOUSLY.
+
+        A vmap of :meth:`tune` over (key, pivot, camera, target) with the
+        shared starting ``params`` broadcast: per-image weights diverge
+        from the first update, so the vmapped convs batch the B copies'
+        matmuls on the MXU while keeping the reference's strictly
+        per-image semantics (single_id_coach.py:40-77 runs images one at
+        a time). Per-image early stop is exact — the loop body freezes a
+        lane once its LPIPS crosses the threshold, so results match B
+        sequential :meth:`tune` calls up to batched-matmul reassociation
+        (~1e-7); wall-clock runs until the slowest image stops. Use
+        ``CoachConfig(remat=True)`` when B copies' 512^2 activations
+        exceed memory.
+
+        Args:
+            w_pivots: [B, 1, num_ws, D]; cameras: [B, 1, 25];
+            real_images: [B, 1, 3, R, R].
+
+        Returns (params pytree with leading B, {"steps": [B],
+        "final_lpips": [B]}).
+        """
+        B = w_pivots.shape[0]
+        keys = jax.random.split(key, B)
+        return jax.vmap(
+            lambda k, w, c, t: self.tune(k, params, w, c, t,
+                                         max_steps=max_steps))(
+            keys, w_pivots, cameras, real_images)

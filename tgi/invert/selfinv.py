@@ -186,14 +186,19 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
     ws, cams, _states, _metrics = proj.project_batch(
         k_proj, t255s, targets_warp=targets)
 
+    # Stage 2 batched too (PTICoach.tune_batch): per-image generator
+    # copies tuned simultaneously with exact per-image early-stop lanes —
+    # equivalent to B sequential tunes up to batched-matmul
+    # reassociation, so the gate validates the fully-batched schedule.
     coach = PTICoach(G, lpips_loss,
-                     CoachConfig(max_pti_steps=max_pti_steps))
-    tune = jax.jit(lambda k, p, w, c, t: coach.tune(k, p, w, c, t))
+                     CoachConfig(max_pti_steps=max_pti_steps, remat=True))
+    tuned_b, info_b = coach.tune_batch(k_tune, gen_params, ws, cams,
+                                       targets)
 
     per_image = []
     for i in range(B):
-        tuned, info = tune(jax.random.fold_in(k_tune, i), gen_params,
-                           ws[i], cams[i], targets[i])
+        tuned = jax.tree_util.tree_map(lambda x: x[i], tuned_b)
+        info = {k: v[i] for k, v in info_b.items()}
         final = G.synthesis(tuned, ws[i], cams[i], det=True)["image"]
         per_image.append({
             "final_mse": float(jnp.mean(jnp.square(final - targets[i]))),
