@@ -338,10 +338,14 @@ def main():
 
     def sec_selfinv():
         from tgi.invert import self_inversion_eval
+        # dispatch_chunk=50: the 350-step joint-phase scan in ONE
+        # dispatch (~57 s) kills the axon TPU worker; 50-step dispatches
+        # (~8 s) are proven safe. Numerically identical.
         q = self_inversion_eval(
             G, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
             lpips_head=head, pose_params=pose, lpips_loss=lp,
-            first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS)
+            first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
+            dispatch_chunk=50)
         state["q"] = q
         extras.update({
             "selfinv_final_lpips": round(q["final_lpips"], 4),
@@ -392,11 +396,14 @@ def main():
     # semantics must hold at B>1).
     def sec_batched_quality():
         from tgi.invert import self_inversion_eval_batch
+        # chunk=10 at B=4: ~4x the per-step cost of the single-image
+        # path, so a 10-step dispatch stays in the proven-safe window
+        # (divides the 50-step preheat phase -> still 2 scan programs).
         qb = self_inversion_eval_batch(
             G, params, key=jax.random.PRNGKey(42), batch_size=4,
             vgg_params=vgg, lpips_head=head, pose_params=pose,
             lpips_loss=lp, first_inv_steps=STAGE1_STEPS,
-            max_pti_steps=STAGE2_STEPS)
+            max_pti_steps=STAGE2_STEPS, dispatch_chunk=10)
         extras.update({
             "batched_selfinv_img0_final_ms_ssim":
                 round(qb["per_image"][0]["final_ms_ssim"], 4),
@@ -459,7 +466,7 @@ def main():
             Gfast, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
             lpips_head=head, pose_params=pose, lpips_loss=lp,
             first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
-            target_G=G)
+            target_G=G, dispatch_chunk=50)
         extras.update({
             "fast_selfinv_final_lpips": round(qf["final_lpips"], 4),
             "fast_selfinv_final_ms_ssim": round(qf["final_ms_ssim"], 4),

@@ -311,3 +311,47 @@ def test_tune_batch_remat_matches(setup):
                      int(info["steps"])))
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
     assert outs[0][1] == outs[1][1]
+
+
+def test_dispatch_chunk_matches_unchunked(setup):
+    """dispatch_chunk bounds per-dispatch execution time WITHOUT changing
+    math: the chunked two-phase projection and the chunked PTI while_loop
+    hand the exact carry across dispatches, so results are bit-identical
+    to the single-dispatch path (the on-chip full-budget runs rely on
+    this — the axon relay kills the worker on ~57 s single dispatches)."""
+    cfg = ProjectorConfig(num_steps=6, cam_preheat_steps=3, w_avg_samples=32,
+                          camera_mode="quat")
+    runs = []
+    for chunk in (None, 2):
+        proj = Projector(setup["G"], setup["gen"], setup["vgg"],
+                         setup["head"], setup["pose"],
+                         ProjectorConfig(num_steps=6, cam_preheat_steps=3,
+                                         w_avg_samples=32,
+                                         camera_mode="quat",
+                                         dispatch_chunk=chunk))
+        ws, cam, _, metrics = proj.project(jax.random.PRNGKey(3),
+                                           setup["target"])
+        runs.append((np.asarray(ws), np.asarray(cam),
+                     np.asarray(metrics["loss"])))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    np.testing.assert_array_equal(runs[0][2], runs[1][2])
+
+    # Coach: chunked while_loop (limit in the carry) == one while_loop,
+    # including the early-stop step count.
+    G = setup["G"]
+    lp = LPIPSLoss(setup["vgg"], setup["head"])
+    c = camera_batch(1)
+    ws0 = jnp.zeros((1, G.cfg.num_ws, 32))
+    real = G.synthesis(setup["gen"], ws0, c, det=True)["image"]
+    outs = []
+    for chunk in (None, 2):
+        coach = PTICoach(G, lp, CoachConfig(max_pti_steps=5,
+                                            dispatch_chunk=chunk))
+        tuned, info = coach.tune(jax.random.PRNGKey(7), setup["gen"], ws0,
+                                 c, real)
+        outs.append((np.asarray(tuned["decoder"]["net0"]["weight"]),
+                     int(info["steps"]), float(info["final_lpips"])))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    assert outs[0][2] == outs[1][2]

@@ -17,6 +17,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from tgi.losses.basic import l2_loss
@@ -43,6 +44,14 @@ class CoachConfig:
     # forward for activation memory — needed for batched tuning, where
     # B generator copies' 512^2 activations coexist).
     remat: bool = False
+    # Max tuning steps per device dispatch. None = the whole stage is
+    # one bounded lax.while_loop (default). The axon TPU relay kills the
+    # worker on very long single executions (see
+    # ProjectorConfig.dispatch_chunk); on-chip full-budget runs chunk
+    # the loop into <=dispatch_chunk-iteration while_loops with the
+    # limit threaded through the carry (ONE compiled program serves all
+    # chunks; a stopped run exits each later chunk after one cond eval).
+    dispatch_chunk: int | None = None
 
 
 class PTICoach:
@@ -138,8 +147,34 @@ class PTICoach:
             return step + go.astype(jnp.int32), params, opt_state, key, lp
 
         carry = (jnp.asarray(0), params, opt_state, key, jnp.asarray(jnp.inf))
-        step, params, opt_state, key, lp = jax.lax.while_loop(
-            cond, body, carry)
+        chunk = cfg.dispatch_chunk
+        if chunk is None:
+            step, params, opt_state, key, lp = jax.lax.while_loop(
+                cond, body, carry)
+            return params, {"steps": step, "final_lpips": lp}
+
+        # Chunked: same body, cond additionally bounded by a per-chunk
+        # `limit` carried through the loop (a device scalar, so the one
+        # compiled while program is reused for every chunk).
+        def cond_c(c):
+            step, _, _, _, lp, limit = c
+            return (step < jnp.minimum(limit, max_steps)) & \
+                (lp > cfg.lpips_threshold)
+
+        def body_c(c):
+            step, params, opt_state, key, lp, limit = c
+            step, params, opt_state, key, lp = body(
+                (step, params, opt_state, key, lp))
+            return step, params, opt_state, key, lp, limit
+
+        state = carry + (jnp.asarray(0, jnp.int32),)
+        traced = isinstance(key, jax.core.Tracer)  # in tune_batch's vmap
+        for end in range(chunk, max_steps + chunk, chunk):
+            state = state[:5] + (jnp.asarray(end, jnp.int32),)
+            state = jax.lax.while_loop(cond_c, body_c, state)
+            if not traced:
+                np.asarray(state[0])     # host sync (see projector)
+        step, params, opt_state, key, lp = state[:5]
         return params, {"steps": step, "final_lpips": lp}
 
     def tune_batch(self, key, params, w_pivots, cameras, real_images,

@@ -79,6 +79,16 @@ class ProjectorConfig:
     # sequential step is ~60 ms faster (217 vs 274); kept switchable for
     # re-evaluation per hardware.
     batch_views: bool = False
+    # Max optimization steps fused into ONE device dispatch. None = the
+    # whole phase is one lax.scan (fastest; default). The axon TPU relay
+    # kills the worker on very long single executions (the 350-step
+    # joint-phase scan, ~57 s, crashes it; 50-step dispatches are fine —
+    # bench probes 2026-08), so on-chip full-budget runs set a chunk.
+    # Pick a divisor of cam_preheat_steps (10/25/50) so every segment
+    # has the same length and only two scan programs compile. Numerics
+    # are identical to the unchunked scan (same step body, carry handed
+    # across dispatches).
+    dispatch_chunk: int | None = None
 
     @property
     def cam_lr(self):
@@ -369,8 +379,10 @@ class Projector:
         step_b = self._make_step(target_255, target_feats, w_std,
                                  preheat=False, target_warp=target_warp)
 
+        chunk = (snapshot_every if snapshot_fn is not None
+                 else cfg.dispatch_chunk)
         carry = (train_state, opt_states, k_loop)
-        if snapshot_fn is None:
+        if chunk is None:
             carry, metrics_a = jax.lax.scan(step_a, carry,
                                             jnp.arange(preheat_steps))
             metrics_b = None
@@ -380,17 +392,24 @@ class Projector:
         else:
             # Chunked execution: segments never straddle the preheat/joint
             # boundary, so only two scan programs compile (one per phase,
-            # per distinct chunk length).
+            # per distinct chunk length). Used for snapshot callbacks AND
+            # for dispatch_chunk (bounded per-dispatch execution time).
             bounds = sorted({0, preheat_steps, num_steps}
-                            | set(range(0, num_steps, max(snapshot_every,
-                                                          1))))
+                            | set(range(0, num_steps, max(chunk, 1))))
             bounds = [b for b in bounds if b <= num_steps]
             chunks_a, chunks_b = [], []
             for a, b in zip(bounds[:-1], bounds[1:]):
                 step = step_a if a < preheat_steps else step_b
                 carry, m = jax.lax.scan(step, carry, jnp.arange(a, b))
                 (chunks_a if a < preheat_steps else chunks_b).append(m)
-                snapshot_fn(b, carry[0], target_255)
+                if snapshot_fn is not None:
+                    snapshot_fn(b, carry[0], target_255)
+                elif cfg.dispatch_chunk is not None:
+                    # True host sync: bounds relay-busy time between
+                    # dispatches and surfaces a worker crash at the exact
+                    # chunk (block_until_ready alone can return at
+                    # dispatch time through the axon relay, CLAUDE.md).
+                    np.asarray(carry[0]["w"])[0, 0, 0]
             cat = lambda ms: jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs), *ms)
             metrics_a = cat(chunks_a) if chunks_a else None
@@ -459,7 +478,7 @@ class Projector:
         preheat_steps = min(cfg.cam_preheat_steps, num_steps)
         loop_keys = jax.random.split(k_loop, B)
 
-        def scan_phase(preheat, carry, steps):
+        def scan_phase(preheat, carry, start, stop):
             step = self._make_step_batched(w_std, preheat)
             def body(c, i):
                 (ts, os, keys) = c
@@ -473,15 +492,27 @@ class Projector:
                             (ts, os, keys), i, targets_255, target_feats,
                             targets_warp)
                 return (ts, os, keys), m
-            return jax.lax.scan(body, carry, steps)
+            # dispatch_chunk bounds per-dispatch execution time — with B
+            # images per step this matters even more than single-image
+            # (see ProjectorConfig.dispatch_chunk).
+            chunk = cfg.dispatch_chunk or (stop - start)
+            ms = []
+            for a in range(start, stop, max(chunk, 1)):
+                b = min(a + chunk, stop)
+                carry, m = jax.lax.scan(body, carry, jnp.arange(a, b))
+                ms.append(m)
+                if cfg.dispatch_chunk is not None:
+                    np.asarray(carry[0]["w"])[0, 0, 0, 0]  # host sync
+            if len(ms) == 1:
+                return carry, ms[0]
+            return carry, jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *ms)
 
         carry = (train_state, opt_states, loop_keys)
-        carry, metrics = scan_phase(True, carry,
-                                    jnp.arange(preheat_steps))
+        carry, metrics = scan_phase(True, carry, 0, preheat_steps)
         if num_steps > preheat_steps:
-            carry, metrics_b = scan_phase(False, carry,
-                                          jnp.arange(preheat_steps,
-                                                     num_steps))
+            carry, metrics_b = scan_phase(False, carry, preheat_steps,
+                                          num_steps)
             metrics = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b], axis=0),
                 metrics, metrics_b)

@@ -37,7 +37,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                         max_pti_steps=400, yaw_offset=0.35,
                         pitch_offset=0.12, camera_mode="quat",
                         truncation_psi=0.7, w_avg_samples=512,
-                        render_fp32=False, target_G=None):
+                        render_fp32=False, target_G=None,
+                        dispatch_chunk=None):
     """Invert a G-generated target; return quality/pose metrics.
 
     Mirrors run_pti's per-image path at full step budget:
@@ -63,7 +64,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     proj_cfg = ProjectorConfig(num_steps=first_inv_steps,
                                camera_mode=camera_mode,
                                w_avg_samples=w_avg_samples,
-                               render_fp32=render_fp32)
+                               render_fp32=render_fp32,
+                               dispatch_chunk=dispatch_chunk)
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      proj_cfg)
     z = jax.random.normal(k_z, (1, G.cfg.z_dim))
@@ -90,7 +92,9 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     pivot = G.synthesis(gen_params, ws, cam, det=True)["image"]
 
     # Stage 2.
-    coach = PTICoach(G, lpips_loss, CoachConfig(max_pti_steps=max_pti_steps))
+    coach = PTICoach(G, lpips_loss,
+                     CoachConfig(max_pti_steps=max_pti_steps,
+                                 dispatch_chunk=dispatch_chunk))
     tuned, info = coach.tune(k_tune, gen_params, ws, cam, target)
     final = G.synthesis(tuned, ws, cam, det=True)["image"]
 
@@ -127,7 +131,7 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
                               batch_size=4, first_inv_steps=400,
                               max_pti_steps=400, camera_mode="quat",
                               truncation_psi=0.7, w_avg_samples=512,
-                              render_fp32=False):
+                              render_fp32=False, dispatch_chunk=None):
     """Closed-loop gate for BATCHED inversion: batch_size targets with
     known per-image (w*, cam*), inverted SIMULTANEOUSLY through
     Projector.project_batch (per-image optimization states vmapped,
@@ -152,7 +156,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
     proj_cfg = ProjectorConfig(num_steps=first_inv_steps,
                                camera_mode=camera_mode,
                                w_avg_samples=w_avg_samples,
-                               render_fp32=render_fp32, remat_render=True)
+                               render_fp32=render_fp32, remat_render=True,
+                               dispatch_chunk=dispatch_chunk)
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      proj_cfg)
 
@@ -191,7 +196,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
     # equivalent to B sequential tunes up to batched-matmul
     # reassociation, so the gate validates the fully-batched schedule.
     coach = PTICoach(G, lpips_loss,
-                     CoachConfig(max_pti_steps=max_pti_steps, remat=True))
+                     CoachConfig(max_pti_steps=max_pti_steps, remat=True,
+                                 dispatch_chunk=dispatch_chunk))
     tuned_b, info_b = coach.tune_batch(k_tune, gen_params, ws, cams,
                                        targets)
 
