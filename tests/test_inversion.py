@@ -355,3 +355,34 @@ def test_dispatch_chunk_matches_unchunked(setup):
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     assert outs[0][1] == outs[1][1]
     assert outs[0][2] == outs[1][2]
+
+
+def test_aim_pose_net(setup):
+    """aim_pose_net starts the pose net err_deg off the true rotation
+    for the given target (exact bias shift through the saturated tanh),
+    leaving predictions for OTHER inputs unconstrained but finite."""
+    import math
+
+    from tgi.invert import aim_pose_net, rotation_error_deg
+    from tgi.invert.projector import assemble_camera, DEFAULT_INTRINSIC
+    from tgi.models.pose_resnet import resnet34_apply
+    from tgi.render.cameras import (fov_to_intrinsics, look_at_pose,
+                                    pack_camera)
+
+    cam_pose = look_at_pose(math.pi / 2 + 0.35, math.pi / 2 + 0.12,
+                            jnp.asarray([0.0, 0.0, 0.2]), radius=2.7)
+    cam_star = pack_camera(cam_pose[None], fov_to_intrinsics(18.837))
+    intr = jnp.asarray(DEFAULT_INTRINSIC).reshape(9)
+    aimed = aim_pose_net(setup["pose"], setup["target"],
+                         cam_pose[:3, :3], err_deg=3.0,
+                         camera_mode="quat", key=jax.random.PRNGKey(9))
+    out0 = resnet34_apply(aimed, setup["target"])
+    _, cam0 = assemble_camera(out0, jnp.zeros((1, 3)), "quat", 2.7, intr)
+    err = float(rotation_error_deg(cam0, cam_star)[0])
+    np.testing.assert_allclose(err, 3.0, atol=0.1)
+    # Only the final bias moved.
+    assert not np.array_equal(np.asarray(aimed["fc3"]["bias"]),
+                              np.asarray(setup["pose"]["fc3"]["bias"]))
+    np.testing.assert_array_equal(
+        np.asarray(aimed["fc3"]["weight"]),
+        np.asarray(setup["pose"]["fc3"]["weight"]))

@@ -207,3 +207,33 @@ def test_quaternion_identity():
     R = np.asarray(quaternion_to_rotmat(q))
     np.testing.assert_allclose(R[0], np.eye(3), atol=1e-6)
     np.testing.assert_allclose(R[1], np.diag([1., -1., -1.]), atol=1e-6)
+
+
+def test_rotmat_to_quat_roundtrip():
+    """rotmat_to_quat inverts quaternion_to_rotmat (up to sign; w >= 0
+    canonical), including near-degenerate small-w rotations."""
+    from scipy.spatial.transform import Rotation as _R
+    from tgi.render.cameras import rotmat_to_quat
+
+    R = _R.random(32, random_state=7).as_matrix().astype(np.float32)
+    # Add the degenerate cases: identity and 180-degree rotations about
+    # each axis (w = 0 branch of Shepperd's method).
+    R = np.concatenate([R, np.eye(3)[None],
+                        np.stack([np.diag(d).astype(np.float32) for d in
+                                  ([1, -1, -1], [-1, 1, -1], [-1, -1, 1])])])
+    q = rotmat_to_quat(jnp.asarray(R))
+    back = np.asarray(quaternion_to_rotmat(q))
+    np.testing.assert_allclose(back, R, atol=1e-5)
+    assert (np.asarray(q)[:, 0] >= -1e-7).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1),
+                               1.0, atol=1e-6)
+
+
+def test_axis_angle_rotmat():
+    from tgi.render.cameras import axis_angle_rotmat
+
+    A = np.asarray(axis_angle_rotmat(jnp.asarray([0.3, -0.5, 0.8]),
+                                     np.radians(3.0)))
+    np.testing.assert_allclose(A @ A.T, np.eye(3), atol=1e-6)
+    ang = np.degrees(np.arccos(np.clip((np.trace(A) - 1) / 2, -1, 1)))
+    np.testing.assert_allclose(ang, 3.0, rtol=1e-4)

@@ -434,7 +434,7 @@ class Projector:
     # -- batched inversion ----------------------------------------------
 
     def project_batch(self, key, targets_255, num_steps=None,
-                      targets_warp=None):
+                      targets_warp=None, pose_params_b=None):
         """Invert a BATCH of targets simultaneously (BASELINE.json config
         5, 'throughput-oriented batch inversion').
 
@@ -451,6 +451,12 @@ class Projector:
             targets_warp: optional [B, 1, 3, R, R] full-resolution
                 [-1, 1] targets for the warp loss (per-image counterpart
                 of ``project``'s ``target_full``).
+            pose_params_b: optional PER-IMAGE pose-net params (a pytree
+                whose leaves carry a leading [B] axis) replacing the
+                shared ``self.pose_params`` as each image's starting
+                estimator — e.g. selfinv's per-target aimed nets. Safe
+                to substitute after init: Adam states are value-
+                independent zeros of the same tree.
 
         Returns (ws [B, 1, num_ws, D], cams [B, 1, 25], states, metrics).
         """
@@ -474,6 +480,8 @@ class Projector:
         train_state, opt_states, w_std = jax.vmap(self.init_state)(
             init_keys, targets_255)
         w_std = w_std[0]     # identical across the batch (same generator)
+        if pose_params_b is not None:
+            train_state = {**train_state, "pose": pose_params_b}
 
         preheat_steps = min(cfg.cam_preheat_steps, num_steps)
         loop_keys = jax.random.split(k_loop, B)

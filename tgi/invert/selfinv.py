@@ -32,23 +32,87 @@ def rotation_error_deg(cam_a, cam_b):
     return jnp.degrees(jnp.arccos(cos))
 
 
+def aim_pose_net(pose_params, target_255, true_rotmat, *, err_deg=3.0,
+                 camera_mode="quat", key=None, calibrate=True):
+    """Return pose-net params whose prediction FOR THIS TARGET is
+    ``true_rotmat`` perturbed by ``err_deg`` (geodesic).
+
+    The reference's ResNet-34 pose estimator is pretrained
+    (run_pti.py:36-45) and stage 1 only *refines* it — the quat camera
+    lr is 6e-7 (hyperparameters.py:29-32). A random-init net predicts an
+    arbitrary rotation the optimizer cannot meaningfully move at that
+    lr, so a weight-free gate would measure the random head, not the
+    machinery. Two repairs restore the pretrained operating point
+    without external weights:
+
+      1. ``calibrate``: set every BatchNorm's running stats from a real
+         forward pass (``resnet34_calibrate``). Identity stats compound
+         activation variance through 34 layers to O(1e3) — tanh
+         saturates for EVERY input, the param->output Jacobian is ~1e5x
+         a trained net's (Adam's 6e-7 steps moved the head to a
+         saturated corner within 6 steps, measured), and the O(1e3)
+         bias shift of step 2 makes Adam's update underflow float32.
+      2. Shift the final-layer bias so tanh(fc3(...)) equals the
+         desired parameterization at this input.
+
+    Every weight stays real and gradients flow through the whole net
+    exactly as in the reference.
+    """
+    from tgi.models.pose_resnet import resnet34_apply, resnet34_calibrate
+    from tgi.render.cameras import axis_angle_rotmat, rotmat_to_quat, \
+        rotmat_to_rot6d
+
+    if calibrate:
+        pose_params = resnet34_calibrate(pose_params, target_255)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    axis = jax.random.normal(key, (3,))
+    Rp = true_rotmat @ axis_angle_rotmat(axis, math.radians(err_deg))
+    if camera_mode == "quat":
+        desired = rotmat_to_quat(Rp[None])[0]
+    elif camera_mode == "6d":
+        desired = rotmat_to_rot6d(Rp[None])[0]
+    else:
+        raise ValueError(f"aim_pose_net: unsupported mode {camera_mode!r}"
+                         " (euler '2d' heads aim via angle offsets)")
+    y = resnet34_apply(pose_params, target_255, pre_tanh=True)[0]
+    y_des = jnp.arctanh(jnp.clip(desired, -0.999, 0.999))
+    fc3 = pose_params["fc3"]
+    return {**pose_params, "fc3": {**fc3, "bias": fc3["bias"]
+                                   + (y_des - y)}}
+
+
 def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                         pose_params, lpips_loss, first_inv_steps=400,
                         max_pti_steps=400, yaw_offset=0.35,
                         pitch_offset=0.12, camera_mode="quat",
                         truncation_psi=0.7, w_avg_samples=512,
                         render_fp32=False, target_G=None,
-                        dispatch_chunk=None):
+                        dispatch_chunk=None, aim_pose_deg=3.0,
+                        pti_lpips_threshold=0.0):
     """Invert a G-generated target; return quality/pose metrics.
 
     Mirrors run_pti's per-image path at full step budget:
     stage 1 = Projector.project (two-phase w+pose scan), stage 2 =
-    PTICoach.tune (early-stopped while_loop).
+    PTICoach.tune.
 
     ``target_G``: optionally render the target with a DIFFERENT
     generator config (same params) than the one doing the inversion —
     used by bench.py's fast-mode gate, where a reduced-sampling
     pipeline must reconstruct a full-fidelity (48+48 sample) target.
+
+    ``aim_pose_deg``: start the pose net ``err_deg`` off the true
+    rotation (see ``aim_pose_net`` — the reference's estimator is
+    pretrained; a random net pins the camera at an arbitrary rotation
+    and the gate stops measuring the machinery). None/0 leaves the
+    random net as-is.
+
+    ``pti_lpips_threshold``: stage-2 early-stop threshold. Defaults to
+    0.0 (run the full budget) because the production 0.06 threshold is
+    calibrated for PRETRAINED AlexNet-LPIPS — with the random-init
+    LPIPS used here it fires spuriously within ~15 steps and the
+    final_* metrics would measure the stop, not the tuning. The stop
+    mechanism itself is covered by tests/test_inversion.py.
     """
     from tgi.invert import CoachConfig, PTICoach, Projector, ProjectorConfig
     from tgi.losses.warp import area_downsample
@@ -86,6 +150,20 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
         if res < 256 else target)
     target_255 = (t256 + 1.0) * 127.5
 
+    init_pose_err = None
+    if aim_pose_deg:
+        aimed = aim_pose_net(pose_params, target_255,
+                             cam_pose[:3, :3], err_deg=aim_pose_deg,
+                             camera_mode=camera_mode, key=key)
+        proj = Projector(G, gen_params, vgg_params, lpips_head, aimed,
+                         proj_cfg)
+        from tgi.invert.projector import assemble_camera
+        from tgi.models.pose_resnet import resnet34_apply
+        pose_out0 = resnet34_apply(aimed, target_255)
+        _, cam0 = assemble_camera(pose_out0, jnp.zeros((1, 3)), camera_mode,
+                                  2.7, proj.intrinsic.reshape(9))
+        init_pose_err = float(rotation_error_deg(cam0, cam_star)[0])
+
     # Stage 1 (full-res [-1,1] target for the warp loss, as run_pti).
     ws, cam, _state, metrics = proj.project(k_proj, target_255,
                                             target_full=target)
@@ -94,11 +172,13 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     # Stage 2.
     coach = PTICoach(G, lpips_loss,
                      CoachConfig(max_pti_steps=max_pti_steps,
+                                 lpips_threshold=pti_lpips_threshold,
                                  dispatch_chunk=dispatch_chunk))
     tuned, info = coach.tune(k_tune, gen_params, ws, cam, target)
     final = G.synthesis(tuned, ws, cam, det=True)["image"]
 
     def quality(img):
+        img = jnp.clip(img, -1.0, 1.0)
         return {
             "mse": float(jnp.mean(jnp.square(img - target))),
             "lpips": float(lpips_loss.from_unit(img, target).sum()),
@@ -116,6 +196,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
         "stage1_first_loss": float(np.asarray(metrics["loss"])[0]),
         "w_err": float(jnp.linalg.norm(ws[:, 0] - ws_star[:, 0])),
     })
+    if init_pose_err is not None:
+        out["init_pose_err_deg"] = init_pose_err
     return out
 
 
@@ -131,7 +213,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
                               batch_size=4, first_inv_steps=400,
                               max_pti_steps=400, camera_mode="quat",
                               truncation_psi=0.7, w_avg_samples=512,
-                              render_fp32=False, dispatch_chunk=None):
+                              render_fp32=False, dispatch_chunk=None,
+                              aim_pose_deg=3.0, pti_lpips_threshold=0.0):
     """Closed-loop gate for BATCHED inversion: batch_size targets with
     known per-image (w*, cam*), inverted SIMULTANEOUSLY through
     Projector.project_batch (per-image optimization states vmapped,
@@ -166,6 +249,7 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
     synth = jax.jit(lambda p, w, c: jnp.clip(
         G.synthesis(p, w, c, det=True)["image"], -1.0, 1.0))
     targets, t255s, cams_star, ws_stars = [], [], [], []
+    aimed_nets, init_pose_errs = [], []
     for i in range(B):
         kz_i = k_z if i == 0 else jax.random.fold_in(k_z, i)
         z = jax.random.normal(kz_i, (1, G.cfg.z_dim))
@@ -181,15 +265,35 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
         t256 = area_downsample(target, 256) if res > 256 else (
             jax.image.resize(target, (1, 3, 256, 256), method="linear")
             if res < 256 else target)
+        t255 = (t256 + 1.0) * 127.5
+        if aim_pose_deg:
+            # Per-image aimed pose nets (see aim_pose_net): image 0 uses
+            # the single-image gate's exact key so its start matches.
+            k_aim = key if i == 0 else jax.random.fold_in(key, 1000 + i)
+            aimed = aim_pose_net(pose_params, t255, cam_pose[:3, :3],
+                                 err_deg=aim_pose_deg,
+                                 camera_mode=camera_mode, key=k_aim)
+            from tgi.invert.projector import assemble_camera
+            from tgi.models.pose_resnet import resnet34_apply
+            _, cam0 = assemble_camera(
+                resnet34_apply(aimed, t255), jnp.zeros((1, 3)),
+                camera_mode, 2.7, proj.intrinsic.reshape(9))
+            aimed_nets.append(aimed)
+            init_pose_errs.append(float(rotation_error_deg(cam0,
+                                                           cam_star)[0]))
         targets.append(target)
-        t255s.append((t256 + 1.0) * 127.5)
+        t255s.append(t255)
         cams_star.append(cam_star)
         ws_stars.append(ws_star)
     targets = jnp.stack(targets)           # [B, 1, 3, R, R]
     t255s = jnp.stack(t255s)               # [B, 1, 3, 256, 256]
+    pose_b = None
+    if aimed_nets:
+        pose_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                        *aimed_nets)
 
     ws, cams, _states, _metrics = proj.project_batch(
-        k_proj, t255s, targets_warp=targets)
+        k_proj, t255s, targets_warp=targets, pose_params_b=pose_b)
 
     # Stage 2 batched too (PTICoach.tune_batch): per-image generator
     # copies tuned simultaneously with exact per-image early-stop lanes —
@@ -197,6 +301,7 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
     # reassociation, so the gate validates the fully-batched schedule.
     coach = PTICoach(G, lpips_loss,
                      CoachConfig(max_pti_steps=max_pti_steps, remat=True,
+                                 lpips_threshold=pti_lpips_threshold,
                                  dispatch_chunk=dispatch_chunk))
     tuned_b, info_b = coach.tune_batch(k_tune, gen_params, ws, cams,
                                        targets)
@@ -205,7 +310,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
     for i in range(B):
         tuned = jax.tree_util.tree_map(lambda x: x[i], tuned_b)
         info = {k: v[i] for k, v in info_b.items()}
-        final = G.synthesis(tuned, ws[i], cams[i], det=True)["image"]
+        final = jnp.clip(G.synthesis(tuned, ws[i], cams[i],
+                                     det=True)["image"], -1.0, 1.0)
         per_image.append({
             "final_mse": float(jnp.mean(jnp.square(final - targets[i]))),
             "final_lpips": float(lpips_loss.from_unit(final,
@@ -218,6 +324,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
             "w_err": float(jnp.linalg.norm(ws[i][:, 0]
                                            - ws_stars[i][:, 0])),
         })
+        if init_pose_errs:
+            per_image[-1]["init_pose_err_deg"] = init_pose_errs[i]
     return {
         "per_image": per_image,
         "mean_final_ms_ssim": float(np.mean([p["final_ms_ssim"]

@@ -22,6 +22,12 @@ def _gaussian_window(size=11, sigma=1.5):
 
 
 def _filter2d_sep(x, w):
+    # Precision.HIGHEST: on TPU the default fp32 conv runs as bf16
+    # passes (~1e-3 drift). The SSIM variance terms are tiny
+    # differences of O(1) moments — bf16 drift swamps them and the
+    # bounded-by-1 ratios go >1 (observed: ms_ssim 1.09 on-chip).
+    # These convs are a negligible metric cost; force exact fp32.
+    hi = jax.lax.Precision.HIGHEST
     c = x.shape[1]
     k = len(w)
     kx = jnp.asarray(w, x.dtype).reshape(1, 1, 1, k)
@@ -29,10 +35,12 @@ def _filter2d_sep(x, w):
     ky = jnp.transpose(kx, (0, 1, 3, 2))
     x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID",
                                      feature_group_count=c,
+                                     precision=hi,
                                      dimension_numbers=("NCHW", "OIHW",
                                                         "NCHW"))
     return jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID",
                                         feature_group_count=c,
+                                        precision=hi,
                                         dimension_numbers=("NCHW", "OIHW",
                                                            "NCHW"))
 

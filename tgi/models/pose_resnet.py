@@ -105,8 +105,12 @@ def _basic_block(params, x, stride):
     return jax.nn.relu(out + identity)
 
 
-def resnet34_apply(params, x):
-    """x: [N, 3, H, W] -> [N, output_dims]."""
+def resnet34_apply(params, x, pre_tanh=False):
+    """x: [N, 3, H, W] -> [N, output_dims].
+
+    ``pre_tanh=True`` returns the final-layer pre-activation (used by
+    tgi.invert.selfinv.aim_pose_net to compute an exact bias shift —
+    a random-init head saturates tanh, so atanh(output) != fc3(...))."""
     x = _conv(x, params["conv1"]["weight"], stride=2, padding=3)
     x = jax.nn.relu(_bn(params["bn1"], x))
     # maxpool 3x3 stride 2 pad 1
@@ -123,7 +127,68 @@ def resnet34_apply(params, x):
     x = jax.nn.relu(x @ params["fc"]["weight"].T + params["fc"]["bias"])
     x = jax.nn.relu(x @ params["fc2"]["weight"].T + params["fc2"]["bias"])
     x = x @ params["fc3"]["weight"].T + params["fc3"]["bias"]
+    if pre_tanh:
+        return x
     return jnp.tanh(x)
+
+
+def _bn_calibrated(params, x, eps=1e-5):
+    """Return BN params whose running stats are the ACTUAL per-channel
+    statistics of ``x`` (over N, H, W) — what one training step's
+    moving-average update converges to on a fixed input distribution."""
+    mean = x.mean(axis=(0, 2, 3))
+    var = x.var(axis=(0, 2, 3))
+    return {**params, "running_mean": mean,
+            "running_var": jnp.maximum(var, eps)}
+
+
+def resnet34_calibrate(params, x):
+    """Calibrate every BatchNorm's running stats on input ``x`` (layer by
+    layer, each BN seeing the activations produced by the already-
+    calibrated prefix) and return the updated params.
+
+    Purpose: a RANDOM-init ResNet-34 with identity BN stats (var=1)
+    compounds activation variance through 34 layers — pre-head
+    activations reach O(1e3), so (a) tanh saturates for every input and
+    (b) the parameter->output Jacobian is ~1e5x a trained net's, making
+    the reference's 6e-7 camera lr (hyperparameters.py:29-32) behave
+    like a huge one. The reference's estimator is PRETRAINED
+    (run_pti.py:36-45) with O(1) activations; calibrating the stats on
+    the evaluation target restores that operating point without any
+    external weights, so weight-free gates (tgi.invert.selfinv) measure
+    the optimizer machinery, not random-init pathology. Conv/fc weights
+    are untouched; inference stays frozen-stats as the reference's
+    .eval() deep-copy (w_projector.py:62)."""
+    params = dict(params)
+    y = _conv(x, params["conv1"]["weight"], stride=2, padding=3)
+    params["bn1"] = _bn_calibrated(params["bn1"], y)
+    y = jax.nn.relu(_bn(params["bn1"], y))
+    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                              (1, 1, 3, 3), (1, 1, 2, 2),
+                              ((0, 0), (0, 0), (1, 1), (1, 1)))
+    for li in range(1, len(BLOCKS_34) + 1):
+        layer = dict(params[f"layer{li}"])
+        for bi in range(len(layer)):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            block = dict(layer[str(bi)])
+            out = _conv(y, block["conv1"]["weight"], stride=stride,
+                        padding=1)
+            block["bn1"] = _bn_calibrated(block["bn1"], out)
+            out = jax.nn.relu(_bn(block["bn1"], out))
+            out = _conv(out, block["conv2"]["weight"], padding=1)
+            block["bn2"] = _bn_calibrated(block["bn2"], out)
+            out = _bn(block["bn2"], out)
+            identity = y
+            if "downsample" in block:
+                ds = dict(block["downsample"])
+                idn = _conv(y, ds["0"]["weight"], stride=stride)
+                ds["1"] = _bn_calibrated(ds["1"], idn)
+                identity = _bn(ds["1"], idn)
+                block["downsample"] = ds
+            y = jax.nn.relu(out + identity)
+            layer[str(bi)] = block
+        params[f"layer{li}"] = layer
+    return params
 
 
 def convert_torch_state_dict(sd: dict) -> dict:

@@ -120,6 +120,51 @@ def quaternion_to_rotmat(quat):
     return mat.reshape(B, 3, 3)
 
 
+def rotmat_to_quat(R):
+    """[N, 3, 3] -> [N, 4] unit quaternion (w, x, y, z); inverse of
+    ``quaternion_to_rotmat`` up to sign (w >= 0 chosen).
+
+    Branchless Shepperd: the four squared-component candidates
+    ``1+tr``, ``1+m00-m11-m22``, ... sum to 4, so the argmax is always
+    >= 1 and its square root is numerically safe.
+    """
+    R = jnp.asarray(R)
+    m00, m01, m02 = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+    m10, m11, m12 = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+    m20, m21, m22 = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+    cand = jnp.stack([1.0 + m00 + m11 + m22,        # 4w^2
+                      1.0 + m00 - m11 - m22,        # 4x^2
+                      1.0 - m00 + m11 - m22,        # 4y^2
+                      1.0 - m00 - m11 + m22],       # 4z^2
+                     axis=-1)
+    s = 2.0 * jnp.sqrt(jnp.maximum(cand, 1e-12))    # [N, 4] = 4|q_i|
+    q_w = jnp.stack([s[:, 0] / 4, (m21 - m12) / s[:, 0],
+                     (m02 - m20) / s[:, 0], (m10 - m01) / s[:, 0]], -1)
+    q_x = jnp.stack([(m21 - m12) / s[:, 1], s[:, 1] / 4,
+                     (m01 + m10) / s[:, 1], (m02 + m20) / s[:, 1]], -1)
+    q_y = jnp.stack([(m02 - m20) / s[:, 2], (m01 + m10) / s[:, 2],
+                     s[:, 2] / 4, (m12 + m21) / s[:, 2]], -1)
+    q_z = jnp.stack([(m10 - m01) / s[:, 3], (m02 + m20) / s[:, 3],
+                     (m12 + m21) / s[:, 3], s[:, 3] / 4], -1)
+    qs = jnp.stack([q_w, q_x, q_y, q_z], axis=1)    # [N, 4, 4]
+    idx = jnp.argmax(cand, axis=-1)
+    q = jnp.take_along_axis(qs, idx[:, None, None].repeat(4, -1),
+                            axis=1)[:, 0]
+    q = q * jnp.where(q[:, :1] < 0, -1.0, 1.0)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def axis_angle_rotmat(axis, angle):
+    """Rodrigues: unit ``axis`` [3], ``angle`` rad -> [3, 3]."""
+    axis = jnp.asarray(axis, jnp.float32)
+    axis = axis / jnp.linalg.norm(axis)
+    kx, ky, kz = axis
+    K = jnp.asarray([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]],
+                    jnp.float32)
+    return (jnp.eye(3) + jnp.sin(angle) * K
+            + (1.0 - jnp.cos(angle)) * (K @ K))
+
+
 def euler_to_rotmat(theta, phi, radius=2.7):
     """Camera-on-sphere rotation from (yaw, pitch), as the reference's
     euler2rot builds it (camera_utils.py:241-257): place the camera at the
