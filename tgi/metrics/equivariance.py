@@ -217,12 +217,20 @@ def apply_fractional_pseudo_rotation(x, angle, a=3, **filter_kwargs):
 def compute_equivariance_metrics(G3, params, *, num_samples=64,
                                  batch_size=8, translate_max=0.125,
                                  rotate_max=1.0, eqt_int=True,
-                                 eqt_frac=False, eqr=True, seed=0):
+                                 eqt_frac=False, eqr=True, seed=0,
+                                 samples=None):
     """EQ harness (equivariance.py:194-266) for the tgi SG3 generator.
 
     Returns a dict with the requested PSNRs (dB). Accumulation is the
     reference's float64 (sum sq err, mask sum) pairs; transforms enter
     through the generator's input-layer transform matrix.
+
+    ``samples``: optional list of per-batch dicts overriding the
+    internal draws — keys ``z`` [B, z_dim], ``t_int`` (tx, ty; already
+    snapped to the pixel grid), ``t_frac`` (tx, ty), ``angle`` (rad).
+    Used by the numeric cross-check against the reference
+    implementation (tests/test_eq_metrics.py), which feeds BOTH
+    pipelines the identical draws.
     """
     assert eqt_int or eqt_frac or eqr
     rng = np.random.RandomState(seed)
@@ -236,16 +244,22 @@ def compute_equivariance_metrics(G3, params, *, num_samples=64,
                                         "input": inp}}
 
     sums = None
-    n_batches = max(num_samples // batch_size, 1)
+    n_batches = (len(samples) if samples is not None
+                 else max(num_samples // batch_size, 1))
     for i in range(n_batches):
-        z = jax.random.normal(jax.random.fold_in(key, i),
-                              (batch_size, G3.cfg.z_dim))
+        given = samples[i] if samples is not None else {}
+        z = (jnp.asarray(given["z"]) if "z" in given else
+             jax.random.normal(jax.random.fold_in(key, i),
+                               (batch_size, G3.cfg.z_dim)))
         orig = G3(with_transform(np.eye(3)), z, None)
         s = []
 
         if eqt_int:
-            t = (rng.rand(2) * 2 - 1) * translate_max
-            t = np.round(t * res) / res
+            if "t_int" in given:
+                t = np.asarray(given["t_int"], np.float64)
+            else:
+                t = (rng.rand(2) * 2 - 1) * translate_max
+                t = np.round(t * res) / res
             m = np.eye(3)
             m[:2, 2] = -t
             img = G3(with_transform(m), z, None)
@@ -253,7 +267,10 @@ def compute_equivariance_metrics(G3, params, *, num_samples=64,
             s += [(ref - img) ** 2 * mask, mask]
 
         if eqt_frac:
-            t = (rng.rand(2) * 2 - 1) * translate_max
+            if "t_frac" in given:
+                t = np.asarray(given["t_frac"], np.float64)
+            else:
+                t = (rng.rand(2) * 2 - 1) * translate_max
             m = np.eye(3)
             m[:2, 2] = -t
             img = G3(with_transform(m), z, None)
@@ -261,7 +278,8 @@ def compute_equivariance_metrics(G3, params, *, num_samples=64,
             s += [(ref - img) ** 2 * mask, mask]
 
         if eqr:
-            angle = (rng.rand() * 2 - 1) * (rotate_max * np.pi)
+            angle = (given["angle"] if "angle" in given else
+                     (rng.rand() * 2 - 1) * (rotate_max * np.pi))
             img = G3(with_transform(rotation_matrix(-angle)), z, None)
             ref, ref_mask = apply_fractional_rotation(orig, angle)
             pseudo, pseudo_mask = apply_fractional_pseudo_rotation(img,
