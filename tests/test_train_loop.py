@@ -66,3 +66,52 @@ def test_training_loop_abort_and_outputs(tmp_path):
     from tgi.io import load_checkpoint
     data2 = load_checkpoint(os.path.join(run_dir, snap))
     assert data2["metadata"]["cur_nimg"] > 0
+
+
+def test_training_loop_orbax_snapshots_and_resume(tmp_path):
+    """checkpoint_backend='orbax': versioned step snapshots with
+    retention (max_to_keep) under run_dir/snapshots, restore_latest
+    round-trip, and loop resume continuing from the saved cur_nimg."""
+    data = str(tmp_path / "data.zip")
+    _make_dataset(data)
+    run_dir = str(tmp_path / "run")
+    G = TriPlaneGenerator(tiny_config())
+    d_cfg = DiscriminatorConfig(c_dim=25, img_resolution=64, img_channels=6,
+                                channel_base=512, channel_max=32,
+                                mbstd_group_size=2, mapping_layers=2)
+    cfg = GANTrainConfig(batch_size=2, blur_init_sigma=0,
+                         density_reg_samples=16, g_reg_interval=2,
+                         d_reg_interval=2)
+    ticks = []
+    state = training_loop(
+        G=G, d_cfg=d_cfg, data_path=data, run_dir=run_dir, cfg=cfg,
+        total_kimg=100, kimg_per_tick=0.004, snapshot_ticks=1,
+        image_snapshot_ticks=0, ada_target=None,
+        checkpoint_backend="orbax", snapshot_keep=2,
+        abort_fn=lambda: ticks.append(1) or len(ticks) >= 3)
+
+    from tgi.io.orbax_io import make_manager, restore_latest
+    snap_dir = os.path.join(run_dir, "snapshots")
+    mgr = make_manager(snap_dir, max_to_keep=2)
+    steps = mgr.all_steps()
+    assert len(steps) >= 1
+    assert len(steps) <= 2, steps          # retention enforced
+    template = {"params": jax.device_get(state),
+                "cur_nimg": np.asarray(0)}
+    restored, step = restore_latest(mgr, template)
+    assert step == max(steps)
+    assert int(restored["cur_nimg"]) == step
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["g_ema"]["decoder"]["net0"]["weight"]),
+        np.asarray(state["g_ema"]["decoder"]["net0"]["weight"]))
+
+    # Resume: the loop restores the newest step and continues from it.
+    ticks2 = []
+    training_loop(
+        G=G, d_cfg=d_cfg, data_path=data, run_dir=run_dir, cfg=cfg,
+        total_kimg=100, kimg_per_tick=0.004, snapshot_ticks=1,
+        image_snapshot_ticks=0, ada_target=None,
+        checkpoint_backend="orbax", snapshot_keep=2, resume_ckpt=snap_dir,
+        abort_fn=lambda: ticks2.append(1) or len(ticks2) >= 1)
+    mgr2 = make_manager(snap_dir, max_to_keep=2)
+    assert max(mgr2.all_steps()) > step

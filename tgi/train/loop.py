@@ -46,7 +46,18 @@ def training_loop(
     metric_fns: dict | None = None,
     abort_fn=None,
     tensorboard: bool = False,
+    checkpoint_backend: str = "msgpack",   # 'msgpack' | 'orbax'
+    snapshot_keep: int = 5,
 ):
+    """GAN training loop (reference training_loop.py:93-430).
+
+    ``checkpoint_backend='orbax'`` switches the periodic snapshots to an
+    orbax CheckpointManager under ``run_dir/snapshots`` — versioned step
+    directories with ``snapshot_keep`` retention (the reference keeps
+    every pickle, training_loop.py:396-410; retention is what production
+    runs actually need). ``resume_ckpt`` then names that directory and
+    the NEWEST step is restored.
+    """
     os.makedirs(run_dir, exist_ok=True)
     logger = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
     collector = Collector()
@@ -70,11 +81,29 @@ def training_loop(
     key = jax.random.PRNGKey(seed)
     state = init_train_state(key, G, d_cfg, trainer)
     cur_nimg = 0
+    manager = None
+    if checkpoint_backend == "orbax":
+        from tgi.io.orbax_io import make_manager
+        manager = make_manager(os.path.join(run_dir, "snapshots"),
+                               max_to_keep=snapshot_keep)
     if resume_ckpt:
-        from tgi.io import load_checkpoint
-        data = load_checkpoint(resume_ckpt, template=state)
-        state = data["params"]
-        cur_nimg = int((data["metadata"] or {}).get("cur_nimg", 0))
+        if checkpoint_backend == "orbax":
+            from tgi.io.orbax_io import make_manager, restore_latest
+            src = (manager if os.path.abspath(resume_ckpt)
+                   == os.path.abspath(os.path.join(run_dir, "snapshots"))
+                   else make_manager(resume_ckpt,
+                                     max_to_keep=snapshot_keep))
+            template = {"params": jax.device_get(state),
+                        "cur_nimg": np.asarray(0)}
+            data, _step = restore_latest(src, template)
+            if data is not None:
+                state = data["params"]
+                cur_nimg = int(data["cur_nimg"])
+        else:
+            from tgi.io import load_checkpoint
+            data = load_checkpoint(resume_ckpt, template=state)
+            state = data["params"]
+            cur_nimg = int((data["metadata"] or {}).get("cur_nimg", 0))
 
     if mesh is not None:
         from tgi.parallel import replicate
@@ -139,12 +168,18 @@ def training_loop(
             collector.reset()
 
             if snapshot_ticks and tick % snapshot_ticks == 0:
-                from tgi.io import save_checkpoint
-                save_checkpoint(
-                    os.path.join(run_dir,
-                                 f"network-{cur_nimg // 1000:06d}.ckpt"),
-                    jax.device_get(state),
-                    metadata={"cur_nimg": cur_nimg})
+                if manager is not None:
+                    from tgi.io.orbax_io import save_step
+                    save_step(manager, cur_nimg,
+                              {"params": jax.device_get(state),
+                               "cur_nimg": np.asarray(cur_nimg)})
+                else:
+                    from tgi.io import save_checkpoint
+                    save_checkpoint(
+                        os.path.join(run_dir,
+                                     f"network-{cur_nimg // 1000:06d}.ckpt"),
+                        jax.device_get(state),
+                        metadata={"cur_nimg": cur_nimg})
                 if metric_fns:
                     for name, fn in metric_fns.items():
                         val = fn(state["g_ema"])
@@ -160,6 +195,8 @@ def training_loop(
             tick_start_time = now
             if abort_fn is not None and abort_fn():
                 break
+    if manager is not None:
+        manager.wait_until_finished()   # orbax saves are async
     logger.close()
     return state
 
