@@ -98,6 +98,33 @@ def test_ray_sharded_render_backward_matches():
                                    rtol=5e-4, atol=1e-5)
 
 
+def test_ray_constrained_synthesis_matches():
+    """tgi.parallel.ray_constrained (the trace-time hook the multichip
+    dryrun's ray-sharded projection step uses): a FULL G.synthesis traced
+    under the context — constraint applied inside importance_render, all
+    inputs replicated — must match the unsharded render. GSPMD shards
+    the volumetric interior and inserts the collectives."""
+    from tgi.parallel import ray_constrained
+
+    G = TriPlaneGenerator(tiny_config())
+    params = G.init(jax.random.PRNGKey(0))
+    ws = jnp.full((1, G.cfg.num_ws, 32), 0.1)
+    c = camera_batch(1)
+
+    def make_fn():
+        return jax.jit(lambda p, w, cc: G.synthesis(p, w, cc,
+                                                    det=True)["image"])
+
+    want = make_fn()(params, ws, c)
+
+    mesh = make_mesh(8, rays=8)
+    fn = make_fn()
+    with mesh, ray_constrained(mesh):
+        got = fn(*replicate(mesh, (params, ws, c)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_data_sharded_inversion_step():
     """One batched-inversion step (Projector._make_step_batched, the
     paper-core path) with the per-image state and targets sharded over

@@ -21,6 +21,7 @@ model sharding of any kind; parity plus ray-sharding headroom is the goal.
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -53,6 +54,45 @@ def ray_sharding(mesh: Mesh, axis: int = 1, ndim: int = 3) -> NamedSharding:
     spec = [None] * ndim
     spec[axis] = "rays"
     return NamedSharding(mesh, P(*spec))
+
+
+_RAY_CONSTRAINT_MESH: Mesh | None = None
+
+
+@contextlib.contextmanager
+def ray_constrained(mesh: Mesh):
+    """Trace-time context: while active, ``importance_render`` pins its
+    ray tensors to the mesh's 'rays' axis via with_sharding_constraint,
+    so a FULL pipeline step (projection / PTI / video render) traced
+    under the context shards its volumetric interior over chips even
+    though its user-facing inputs (params, target, camera) are
+    replicated. GSPMD propagates the constraint through sampling,
+    decoding and marching (zero collectives until the image reshape) —
+    the mechanics the ray-sharded-render parity tests verify leaf-level
+    (tests/test_parallel.py), applied at step granularity."""
+    global _RAY_CONSTRAINT_MESH
+    prev = _RAY_CONSTRAINT_MESH
+    _RAY_CONSTRAINT_MESH = mesh
+    try:
+        yield
+    finally:
+        _RAY_CONSTRAINT_MESH = prev
+
+
+def constrain_ray_axis(x, axis: int = 1):
+    """Apply the active ray-sharding constraint to axis ``axis`` of x
+    (no-op outside a ray_constrained context, or when the ray axis does
+    not divide over the mesh)."""
+    mesh = _RAY_CONSTRAINT_MESH
+    if mesh is None:
+        return x
+    n = mesh.shape.get("rays", 1)
+    if n <= 1 or x.shape[axis] % n != 0:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = "rays"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def replicate(mesh: Mesh, tree):

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from tgi.ops import sample_triplanes
+from tgi.parallel.mesh import constrain_ray_axis
 from tgi.render.decoder import osg_decoder_apply
 from tgi.render.importance import (merged_march, sample_importance,
                                    sample_stratified)
@@ -67,6 +68,12 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
         assert det, "stochastic rendering needs a PRNG key"
         key = jax.random.PRNGKey(0)
     k_strat, k_imp, k_noise = jax.random.split(key, 3)
+
+    # Under tgi.parallel.ray_constrained, pin the ray axis to the mesh's
+    # 'rays' axis: GSPMD propagates the sharding through sampling /
+    # decoding / marching (no-op otherwise).
+    ray_origins = constrain_ray_axis(ray_origins)
+    ray_directions = constrain_ray_axis(ray_directions)
 
     N, M, _ = ray_origins.shape
 
