@@ -45,6 +45,24 @@ STAGE1_STEPS = 400
 STAGE2_STEPS = 400
 NS1 = 16          # stage-1 steps fused per timing scan
 NS2 = 12          # stage-2 steps fused per timing scan
+# TPU v5e (lite) peak: 197 TFLOP/s bf16 / 394 TOPS int8 per chip. MFU is
+# reported against the bf16 peak — conservative for this pipeline, whose
+# render/decoder segments run fp32 accumulation (half the bf16 rate), so
+# true utilization of the attainable roofline is higher than mfu_pct.
+V5E_PEAK_FLOPS = 197e12
+
+
+def compiled_flops(jitted, *args):
+    """Exact FLOP count of a compiled program via XLA cost analysis
+    (verified live on the axon TPU backend). Returns None if the backend
+    doesn't expose it — callers treat MFU as best-effort."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:  # noqa: BLE001 — diagnostics only
+        return None
 
 
 def timeit(fn, *args, warmup=2, iters=8):
@@ -129,21 +147,28 @@ class SectionBudget:
 
 
 def measure_stage_steps(G_var, *, params, ws, c, real, target, tfeats, ts,
-                        opt_states, w_std, vgg, head, pose, lp):
-    """(stage-1 step ms, stage-2 step ms) for a generator variant.
+                        opt_states, w_std, vgg, head, pose, lp,
+                        proj_overrides=None, with_flops=False):
+    """(stage-1 step ms, stage-2 step ms[, per-step FLOPs dict]) for a
+    generator variant.
 
     The real pipeline runs its 400 steps inside ONE lax.scan — a single
     dispatch. Timing per-call through the axon relay adds ~100 ms of
     round-trip per step that the real loop never pays, so measure a
     fused scan and divide. Shared by the parity, 128-ray, and fast-mode
-    sections (they differ only in the generator's rendering config).
+    sections (they differ only in the generator's rendering config /
+    ``proj_overrides`` like canon_sr_max_res).
     """
+    import dataclasses
+
     import optax
 
     from tgi.invert import CoachConfig, PTICoach, Projector, ProjectorConfig
 
-    proj = Projector(G_var, params, vgg, head, pose,
-                     ProjectorConfig(w_avg_samples=512, render_fp32=False))
+    pcfg = ProjectorConfig(w_avg_samples=512, render_fp32=False)
+    if proj_overrides:
+        pcfg = dataclasses.replace(pcfg, **proj_overrides)
+    proj = Projector(G_var, params, vgg, head, pose, pcfg)
     step = proj._make_step(target, tfeats, w_std, preheat=False)
 
     @jax.jit
@@ -173,7 +198,12 @@ def measure_stage_steps(G_var, *, params, ws, c, real, target, tfeats, ts,
 
     s2_ms = timeit(lambda: scan_stage2(params, opt_state0),
                    warmup=1, iters=3) * 1e3 / NS2
-    return s1_ms, s2_ms
+    if not with_flops:
+        return s1_ms, s2_ms
+    f1 = compiled_flops(scan_stage1, ts, opt_states)
+    f2 = compiled_flops(scan_stage2, params, opt_state0)
+    flops = {"stage1": f1 and f1 / NS1, "stage2": f2 and f2 / NS2}
+    return s1_ms, s2_ms, flops
 
 
 def measure_batched_stage1(G, *, params, vgg, head, pose, B, ns=8):
@@ -312,9 +342,15 @@ def main():
     shared = dict(params=params, ws=ws, c=c, real=real, target=target,
                   tfeats=tfeats, ts=ts, opt_states=opt_states, w_std=w_std,
                   vgg=vgg, head=head, pose=pose, lp=lp)
-    stage1_ms, stage2_ms = measure_stage_steps(G, **shared)
+    stage1_ms, stage2_ms, step_flops = measure_stage_steps(
+        G, **shared, with_flops=True)
     sec_per_image = (STAGE1_STEPS * stage1_ms
                      + STAGE2_STEPS * stage2_ms) / 1e3
+
+    def mfu(flops, ms):
+        if not flops or not ms:
+            return None
+        return round(100.0 * flops / (ms / 1e3) / V5E_PEAK_FLOPS, 1)
 
     headline = {
         "metric": "PTI inversion sec/image (w+pose, 400+400 steps)",
@@ -330,6 +366,17 @@ def main():
         "render_ms_per_frame_512": round(render_ms, 2),
         "stage1_step_ms": round(stage1_ms, 2),
         "stage2_step_ms": round(stage2_ms, 2),
+        # Hardware utilization: exact XLA-counted FLOPs of the compiled
+        # step over measured time, vs the chip's 197 TFLOP/s bf16 peak
+        # (a conservative denominator — fp32-accum segments peak at half
+        # that). Low MFU here is structural: the hot kernels are the
+        # memory-bound tri-plane gather/splat (PERF.md), not matmuls.
+        "stage1_mfu_pct": mfu(step_flops["stage1"], stage1_ms),
+        "stage2_mfu_pct": mfu(step_flops["stage2"], stage2_ms),
+        "stage1_step_gflops": step_flops["stage1"] and round(
+            step_flops["stage1"] / 1e9, 1),
+        "stage2_step_gflops": step_flops["stage2"] and round(
+            step_flops["stage2"] / 1e9, 1),
         "bf16_render_lpips_vs_fp32": round(bf16_lpips, 4),
         "device": str(dev),
     }
@@ -338,6 +385,16 @@ def main():
     print(json.dumps(headline), flush=True)
 
     extras = {}
+
+    def emit():
+        """Print the full merged record after EVERY completed section, so
+        a driver kill at any point still leaves the last complete line
+        carrying all evidence gathered so far (round-3/4 lesson: sections
+        that ran but never printed produced zero driver artifacts)."""
+        print(json.dumps({**headline, **extras,
+                          "bench_elapsed_s": round(budget.elapsed(), 1),
+                          "section_elapsed_s": budget.section_s}),
+              flush=True)
 
     # 4) Self-inversion quality gate: invert a G-generated target with
     # known (w*, cam*) through the REAL full-budget pipeline
@@ -359,7 +416,7 @@ def main():
             G, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
             lpips_head=head, pose_params=pose, lpips_loss=lp,
             first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
-            dispatch_chunk=50)
+            dispatch_chunk=50, early_stop_probe=0.06)
         state["q"] = q
         extras.update({
             "selfinv_final_lpips": round(q["final_lpips"], 4),
@@ -371,6 +428,27 @@ def main():
             "selfinv_pose_err_deg": round(q["pose_err_deg"], 2),
             "selfinv_pti_steps": q["pti_steps"],
         })
+        # Matched-protocol wall-clock: the reference's real per-image
+        # time includes the LPIPS<=0.06 stage-2 early stop
+        # (single_id_coach.py:69, hyperparameters.py:19-20 — BASELINE.md
+        # assumes 200-400 effective steps). value_early_stop charges the
+        # measured steps-at-stop on the self-inversion target; the
+        # es_gate quality delta right beside it says whether stopping
+        # there actually preserved reconstruction quality (the LPIPS
+        # here is random-init, so the stop point is NOT calibrated like
+        # the pretrained production one — the gate keeps it honest).
+        if "es_steps" in q:
+            es_sec = (STAGE1_STEPS * stage1_ms
+                      + q["es_steps"] * stage2_ms) / 1e3
+            extras.update({
+                "selfinv_early_stop_steps": q["es_steps"],
+                "selfinv_early_stop_ms_ssim": round(q["es_ms_ssim"], 4),
+                "value_early_stop": round(es_sec, 2),
+                "vs_baseline_early_stop": round(
+                    REFERENCE_SEC_PER_IMAGE / es_sec, 2),
+                "early_stop_gate_ok": bool(
+                    q["es_ms_ssim"] >= q["final_ms_ssim"] - 0.01),
+            })
 
     # est 60: effectively always attempted — the quality block is the
     # highest-priority evidence after the headline (worst-case-cold it
@@ -378,17 +456,27 @@ def main():
     if os.environ.get("TGI_BENCH_SELFINV", "1") == "1" and \
             budget.allow("selfinv", 60):
         budget.run("selfinv", sec_selfinv)
+        emit()
 
-    # 5) Fast mode: 32+32 depth samples instead of the reference's 48+48
-    # (rendering_kwargs, triplane.py defaults). The sampling machinery
-    # (gather fwd + splat bwd) scales linearly with the point count. Its
-    # quality gate (section 6) runs the SAME full-budget pipeline at the
-    # SAME seed as section 4 against a target rendered at FULL 48+48
-    # fidelity, so fast_selfinv_* is directly comparable to selfinv_*.
+    # 5) Fast modes (quality-gated in section 6, never the headline):
+    #   (a) canon256 — truncate the CANONICAL render's SR pyramid at 256
+    #       (canon_sr_max_res: its only consumer is a <=256-res VGG
+    #       feature map, warping_loss.py:7-10; the reference renders the
+    #       full 512² and area-downsamples). Stage-1 only.
+    #   (b) depth 32+32 instead of the reference's 48+48 — the sampling
+    #       machinery (gather fwd + splat bwd) scales linearly with the
+    #       point count. Both stages.
+    #   fast_* = the COMBINED mode (a)+(b), the production fast config.
+    FAST_RK = dict(depth_resolution=32, depth_resolution_importance=32)
+    CANON_OVR = {"canon_sr_max_res": 256}
+
     def sec_fast():
-        Gfast = TriPlaneGenerator(G.cfg.with_rendering(
-            depth_resolution=32, depth_resolution_importance=32))
-        s1_fast, s2_fast = measure_stage_steps(Gfast, **shared)
+        s1_canon, _ = measure_stage_steps(G, **shared,
+                                          proj_overrides=CANON_OVR)
+        extras["canon256_stage1_step_ms"] = round(s1_canon, 2)
+        Gfast = TriPlaneGenerator(G.cfg.with_rendering(**FAST_RK))
+        s1_fast, s2_fast = measure_stage_steps(Gfast, **shared,
+                                               proj_overrides=CANON_OVR)
         fast_sec = (STAGE1_STEPS * s1_fast + STAGE2_STEPS * s2_fast) / 1e3
         state["fast_sec"] = fast_sec
         extras.update({
@@ -396,8 +484,8 @@ def main():
             "fast_stage2_step_ms": round(s2_fast, 2),
             "fast_sec_per_image": round(fast_sec, 2),
             # NON-PARITY ratio: full-fidelity reference wall-clock over a
-            # reduced-fidelity (32+32 depth samples) pipeline. The parity
-            # headline is `vs_baseline` above.
+            # reduced-fidelity (32+32 samples + canon256) pipeline. The
+            # parity headline is `vs_baseline` above.
             "fast_vs_baseline_nonparity": round(
                 REFERENCE_SEC_PER_IMAGE / fast_sec, 2),
         })
@@ -405,6 +493,7 @@ def main():
     if os.environ.get("TGI_BENCH_FAST", "1") == "1" and \
             budget.allow("fast", 360):
         budget.run("fast", sec_fast)
+        emit()
 
     # 6) Fast-mode quality gate (enforced comparison, not just printed):
     # weight-free metrics at the shared seed — MS-SSIM within 0.01 and
@@ -412,17 +501,16 @@ def main():
     def sec_fast_selfinv():
         from tgi.invert import self_inversion_eval
         q = state["q"]
-        Gfast = TriPlaneGenerator(G.cfg.with_rendering(
-            depth_resolution=32, depth_resolution_importance=32))
+        Gfast = TriPlaneGenerator(G.cfg.with_rendering(**FAST_RK))
         # target_G=G: the target is rendered at the PARITY sampling
-        # settings (48+48) and inverted by the FAST pipeline — the
-        # real-world question (fast machinery vs full-fidelity image),
-        # not a softer fast-vs-fast round trip.
+        # settings (48+48, full SR) and inverted by the FAST pipeline —
+        # the real-world question (fast machinery vs full-fidelity
+        # image), not a softer fast-vs-fast round trip.
         qf = self_inversion_eval(
             Gfast, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
             lpips_head=head, pose_params=pose, lpips_loss=lp,
             first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
-            target_G=G, dispatch_chunk=50)
+            target_G=G, dispatch_chunk=50, proj_overrides=CANON_OVR)
         extras.update({
             "fast_selfinv_final_lpips": round(qf["final_lpips"], 4),
             "fast_selfinv_final_ms_ssim": round(qf["final_ms_ssim"], 4),
@@ -440,6 +528,7 @@ def main():
             os.environ.get("TGI_BENCH_SELFINV", "1") == "1" and \
             budget.allow("fast_selfinv", 900):
         budget.run("fast_selfinv", sec_fast_selfinv)
+        emit()
 
     # 7) Batched inversion (PERF.md "paths past the ceiling"): B images
     # through project_batch semantics — per-image optimization states
@@ -472,7 +561,9 @@ def main():
         for B in (2, 4):
             if not budget.allow(f"batched_b{B}", 420):
                 break
-            if not budget.run(f"batched_b{B}", lambda B=B: sec_batched(B)):
+            ok = budget.run(f"batched_b{B}", lambda B=B: sec_batched(B))
+            emit()
+            if not ok:
                 break
 
     # 8) Batched self-inversion quality: the same closed-loop gate at
@@ -510,6 +601,7 @@ def main():
     if os.environ.get("TGI_BENCH_BATCHED_QUALITY", "1") == "1" and \
             budget.allow("batched_quality", 600):
         budget.run("batched_quality", sec_batched_quality)
+        emit()
 
     # 9) (last) The reference README stages ffhqrebalanced512-128.pkl — same
     # architecture and weight shapes, but neural_rendering_resolution=128

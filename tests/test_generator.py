@@ -113,3 +113,69 @@ def test_cached_planes_short_circuit(tiny_gen):
     out2 = G.synthesis(params, ws, c, det=True, planes=out1["planes"])
     np.testing.assert_allclose(np.asarray(out1["image"]),
                                np.asarray(out2["image"]), atol=1e-6)
+
+
+def test_sr_max_res_early_exit():
+    """superresolution_apply(max_res=...) exits the pyramid at each of its
+    three levels (the canon_sr_max_res fast path — PERF.md):
+    max_res<=input_resolution returns the bilinear-lifted raw rgb (the
+    flagship's canon128), max_res=block0 res returns exactly block0's
+    accumulated rgb skip (canon256), and max_res at/above the final
+    resolution is a no-op vs the full pyramid. Uses a config whose three
+    resolutions are distinct (16 -> 32 -> 64) — the flagship 8X shape
+    (128 -> 256 -> 512) scaled down."""
+    from tgi.nn.superres import (SRConfig, bilinear_resize,
+                                 superresolution_apply,
+                                 superresolution_init)
+    from tgi.nn.synthesis import synthesis_block_apply
+
+    cfg = SRConfig("SRTest3Level", 16, (8, 16, 32, 2), (16, 16, 64, 2), 64)
+    params = superresolution_init(jax.random.PRNGKey(0), cfg, w_dim=32)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    rgb = jax.random.normal(k1, (1, 3, 8, 8)) * 0.1
+    x = jax.random.normal(k2, (1, cfg.block0[0], 8, 8)) * 0.1
+    ws = jax.random.normal(k3, (1, 5, 32))
+    kw = dict(noise_mode="const", use_fp16=False)
+
+    # Level-0 exit: the raw render bilinear-lifted to input_resolution.
+    lvl0 = superresolution_apply(params, rgb, x, ws, cfg,
+                                 max_res=cfg.input_resolution, **kw)
+    want0 = bilinear_resize(rgb, cfg.input_resolution, antialias=True)
+    np.testing.assert_array_equal(np.asarray(lvl0), np.asarray(want0))
+
+    # Block-0 exit: manual block0-only composition matches bit-for-bit.
+    res0 = cfg.block0[2]
+    early = superresolution_apply(params, rgb, x, ws, cfg, max_res=res0,
+                                  **kw)
+    assert early.shape == (1, 3, res0, res0)
+    ws3 = jnp.tile(ws[:, -1:, :], (1, 3, 1))
+    xr = bilinear_resize(x, cfg.input_resolution, antialias=True)
+    rgbr = bilinear_resize(rgb, cfg.input_resolution, antialias=True)
+    _, want = synthesis_block_apply(
+        params["block0"], xr, rgbr, ws3, in_channels=cfg.block0[0],
+        resolution=res0, up=cfg.block0[3], use_fp16=False,
+        force_fp32=False, conv_clamp=None, noise_mode="const",
+        noise_key=None, fused_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(early), np.asarray(want))
+
+    full = superresolution_apply(params, rgb, x, ws, cfg, **kw)
+    capped = superresolution_apply(params, rgb, x, ws, cfg,
+                                   max_res=cfg.img_resolution, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(capped))
+
+
+def test_synthesis_sr_max_res(tiny_gen):
+    """G.synthesis(sr_max_res=...) plumbs through to the SR pyramid: the
+    'image' output comes back at the truncated resolution, everything
+    else (raw render, depth) is untouched."""
+    G, params = tiny_gen
+    ws = jnp.zeros((1, G.cfg.num_ws, 32))
+    c = camera_batch(1)
+    res0 = G.cfg.sr_cfg.block0[2]
+    out = G.synthesis(params, ws, c, det=True, sr_max_res=res0)
+    full = G.synthesis(params, ws, c, det=True)
+    assert out["image"].shape == (1, 3, res0, res0)
+    np.testing.assert_array_equal(np.asarray(out["image_raw"]),
+                                  np.asarray(full["image_raw"]))
+    np.testing.assert_array_equal(np.asarray(out["image_depth"]),
+                                  np.asarray(full["image_depth"]))

@@ -104,7 +104,8 @@ def test_self_inversion_quality_gate(setup):
         setup["G"], setup["gen"], key=jax.random.PRNGKey(11),
         vgg_params=setup["vgg"], lpips_head=setup["head"],
         pose_params=setup["pose"], lpips_loss=lp,
-        first_inv_steps=60, max_pti_steps=60, w_avg_samples=32)
+        first_inv_steps=60, max_pti_steps=60, w_avg_samples=32,
+        early_stop_probe=0.06)
     for k, v in out.items():
         assert np.isfinite(v), (k, v)
     # Stage-1 made progress on its own loss.
@@ -112,6 +113,10 @@ def test_self_inversion_quality_gate(setup):
     # Stage-2 tuning must not make the reconstruction worse.
     assert out["final_mse"] <= out["pivot_mse"] * 1.05
     assert out["pti_steps"] <= 60
+    # The matched-protocol probe ran stage 2 with the production 0.06
+    # stop and reported steps-at-stop + quality-at-stop.
+    assert 0 <= out["es_steps"] <= 60
+    assert out["es_threshold"] == 0.06
 
 
 def test_self_inversion_fast_mode_target_g(setup):
@@ -161,6 +166,26 @@ def test_pti_early_stop_engages(setup):
     np.testing.assert_array_equal(
         np.asarray(tuned["decoder"]["net0"]["weight"]),
         np.asarray(gen["decoder"]["net0"]["weight"]))
+
+
+def test_batched_projection_zero_preheat_traces(setup):
+    """project_batch with a zero-step phase (cam_preheat_steps=0) must
+    trace: the chunk loop used to collect no metric trees for the empty
+    phase and tree_map() over zero trees raised TypeError. eval_shape
+    exercises the full trace without the (slow on CPU) compile."""
+    cfg = ProjectorConfig(num_steps=2, cam_preheat_steps=0, w_avg_samples=8,
+                          camera_mode="quat")
+    proj = Projector(setup["G"], setup["gen"], setup["vgg"], setup["head"],
+                     setup["pose"], cfg)
+    targets = jnp.concatenate([setup["target"],
+                               jnp.flip(setup["target"], -1)])  # B=2
+    ws, cams, _states, metrics = jax.eval_shape(
+        lambda k, t: proj.project_batch(k, t), jax.random.PRNGKey(7),
+        targets)
+    assert ws.shape == (2, 1, setup["G"].cfg.num_ws, 32)
+    assert cams.shape == (2, 1, 25)
+    # Metrics cover all num_steps even though the preheat phase is empty.
+    assert metrics["loss"].shape[0] == 2
 
 
 @pytest.mark.slow
@@ -386,3 +411,22 @@ def test_aim_pose_net(setup):
     np.testing.assert_array_equal(
         np.asarray(aimed["fc3"]["weight"]),
         np.asarray(setup["pose"]["fc3"]["weight"]))
+
+
+def test_projection_canon_sr_max_res(setup):
+    """canon_sr_max_res truncates the CANONICAL render's SR pyramid (its
+    only consumer is the warp loss's <=256-res VGG features — a
+    quality-gated fast mode, PERF.md); the projection must still run and
+    reduce its loss, and the PREDICTED-view path stays full-resolution
+    (the LPIPS branch would shape-error otherwise)."""
+    res0 = setup["G"].cfg.sr_cfg.block0[2]
+    cfg = ProjectorConfig(num_steps=6, cam_preheat_steps=2, w_avg_samples=16,
+                          camera_mode="quat", canon_sr_max_res=res0)
+    proj = Projector(setup["G"], setup["gen"], setup["vgg"], setup["head"],
+                     setup["pose"], cfg)
+    ws, cam, _state, metrics = proj.project(jax.random.PRNGKey(5),
+                                            setup["target"])
+    assert ws.shape == (1, setup["G"].cfg.num_ws, 32)
+    loss = np.asarray(metrics["loss"])
+    assert np.isfinite(loss).all()
+    assert loss[-1] < loss[2] * 1.001

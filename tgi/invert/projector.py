@@ -79,6 +79,14 @@ class ProjectorConfig:
     # sequential step is ~60 ms faster (217 vs 274); kept switchable for
     # re-evaluation per hardware.
     batch_views: bool = False
+    # Truncate the CANONICAL view's SR pyramid at this resolution (e.g.
+    # 256 skips the 512² SR block). The canonical render's only consumer
+    # is a <=256-res VGG feature map — the reference area-downsamples the
+    # full 512² SR output to 256 before VGG (warping_loss.py:7-10); this
+    # renders the 256-res SR skip directly instead. A quality-gated fast
+    # mode (selfinv gate, PERF.md), NOT exact parity: None (default)
+    # keeps reference behavior. Requires batch_views=False.
+    canon_sr_max_res: int | None = None
     # Max optimization steps fused into ONE device dispatch. None = the
     # whole phase is one lax.scan (fastest; default). The axon TPU relay
     # kills the worker on very long single executions (the 350-step
@@ -285,21 +293,25 @@ class Projector:
         ws_both = jnp.concatenate([ws, jax.lax.stop_gradient(ws)], axis=0)
         cams = jnp.concatenate([pred_cam, self.canonical_cam], axis=0)
 
-        def render(p, w, c, k):
+        def render(p, w, c, k, sr_max_res):
             return G.synthesis(p, w, c, noise_mode="const", det=False,
-                               key=k, force_fp32=cfg.render_fp32)
+                               key=k, force_fp32=cfg.render_fp32,
+                               sr_max_res=sr_max_res)
 
         if cfg.remat_render:
-            render = jax.checkpoint(render)
+            render = jax.checkpoint(render, static_argnums=(4,))
         if cfg.batch_views:
-            out = render(gen_params, ws_both, cams, k_pred)
+            assert cfg.canon_sr_max_res is None, \
+                "canon_sr_max_res needs sequential renders (batch_views=False)"
+            out = render(gen_params, ws_both, cams, k_pred, None)
             pred_depth = out["image_depth"][:1]
             pred_images_255 = out["image"][:1] * 127.5 + 128
             canon_image = out["image"][1:]
         else:
-            pred = render(gen_params, ws, pred_cam, k_pred)
+            pred = render(gen_params, ws, pred_cam, k_pred, None)
             canon = render(gen_params, jax.lax.stop_gradient(ws),
-                           self.canonical_cam, k_canon)
+                           self.canonical_cam, k_canon,
+                           cfg.canon_sr_max_res)
             pred_depth = pred["image_depth"]
             pred_images_255 = pred["image"] * 127.5 + 128
             canon_image = canon["image"]
@@ -379,8 +391,14 @@ class Projector:
         step_b = self._make_step(target_255, target_feats, w_std,
                                  preheat=False, target_warp=target_warp)
 
-        chunk = (snapshot_every if snapshot_fn is not None
-                 else cfg.dispatch_chunk)
+        # Chunk bounds compose snapshots with the dispatch-time safety
+        # bound: a large snapshot_every must not silently reinstate the
+        # long single dispatch dispatch_chunk exists to prevent
+        # (CLAUDE.md: >40-60 s dispatches kill the axon TPU worker).
+        snap = snapshot_every if snapshot_fn is not None else None
+        chunk = cfg.dispatch_chunk if snap is None else (
+            snap if cfg.dispatch_chunk is None
+            else min(snap, cfg.dispatch_chunk))
         carry = (train_state, opt_states, k_loop)
         if chunk is None:
             carry, metrics_a = jax.lax.scan(step_a, carry,
@@ -402,7 +420,10 @@ class Projector:
                 step = step_a if a < preheat_steps else step_b
                 carry, m = jax.lax.scan(step, carry, jnp.arange(a, b))
                 (chunks_a if a < preheat_steps else chunks_b).append(m)
-                if snapshot_fn is not None:
+                # Snapshots fire on their own cadence (plus the phase
+                # boundary and the end), not at every dispatch chunk.
+                if snapshot_fn is not None and (
+                        b % snap == 0 or b in (preheat_steps, num_steps)):
                     snapshot_fn(b, carry[0], target_255)
                 elif cfg.dispatch_chunk is not None:
                     # True host sync: bounds relay-busy time between
@@ -500,6 +521,12 @@ class Projector:
                             (ts, os, keys), i, targets_255, target_feats,
                             targets_warp)
                 return (ts, os, keys), m
+            if start >= stop:
+                # Zero-step phase (e.g. cam_preheat_steps=0): a length-0
+                # scan yields the carry unchanged plus correctly-shaped
+                # empty metrics (the chunk loop below would collect no
+                # metric trees and tree_map() over zero trees raises).
+                return jax.lax.scan(body, carry, jnp.arange(start, stop))
             # dispatch_chunk bounds per-dispatch execution time — with B
             # images per step this matters even more than single-image
             # (see ProjectorConfig.dispatch_chunk).

@@ -89,7 +89,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                         truncation_psi=0.7, w_avg_samples=512,
                         render_fp32=False, target_G=None,
                         dispatch_chunk=None, aim_pose_deg=3.0,
-                        pti_lpips_threshold=0.0):
+                        pti_lpips_threshold=0.0, proj_overrides=None,
+                        early_stop_probe=None):
     """Invert a G-generated target; return quality/pose metrics.
 
     Mirrors run_pti's per-image path at full step budget:
@@ -113,7 +114,21 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     LPIPS used here it fires spuriously within ~15 steps and the
     final_* metrics would measure the stop, not the tuning. The stop
     mechanism itself is covered by tests/test_inversion.py.
+
+    ``proj_overrides``: extra ProjectorConfig fields (dataclasses.replace
+    kwargs) — used by bench.py to gate fast modes like
+    ``canon_sr_max_res`` under this harness.
+
+    ``early_stop_probe``: when set (e.g. the production 0.06,
+    hyperparameters.py:19-20), ALSO run stage 2 from the same pivot with
+    that LPIPS early stop active and report ``es_*`` metrics (steps at
+    stop + quality at stop) — the matched-protocol wall-clock evidence
+    (the reference's real per-image time includes this stop,
+    single_id_coach.py:69). Cheap: the probe run is exactly as long as
+    the stop allows. The quality keys beside ``es_steps`` keep the
+    number honest when the random-init LPIPS fires the stop early.
     """
+    from dataclasses import replace as _replace
     from tgi.invert import CoachConfig, PTICoach, Projector, ProjectorConfig
     from tgi.losses.warp import area_downsample
     from tgi.metrics import ms_ssim
@@ -130,6 +145,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                                w_avg_samples=w_avg_samples,
                                render_fp32=render_fp32,
                                dispatch_chunk=dispatch_chunk)
+    if proj_overrides:
+        proj_cfg = _replace(proj_cfg, **proj_overrides)
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      proj_cfg)
     z = jax.random.normal(k_z, (1, G.cfg.z_dim))
@@ -177,6 +194,17 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     tuned, info = coach.tune(k_tune, gen_params, ws, cam, target)
     final = G.synthesis(tuned, ws, cam, det=True)["image"]
 
+    es = None
+    if early_stop_probe:
+        coach_es = PTICoach(G, lpips_loss,
+                            CoachConfig(max_pti_steps=max_pti_steps,
+                                        lpips_threshold=early_stop_probe,
+                                        dispatch_chunk=dispatch_chunk))
+        tuned_es, info_es = coach_es.tune(k_tune, gen_params, ws, cam,
+                                          target)
+        final_es = G.synthesis(tuned_es, ws, cam, det=True)["image"]
+        es = (final_es, info_es)
+
     def quality(img):
         img = jnp.clip(img, -1.0, 1.0)
         return {
@@ -198,6 +226,11 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     })
     if init_pose_err is not None:
         out["init_pose_err_deg"] = init_pose_err
+    if es is not None:
+        final_es, info_es = es
+        out.update({"es_" + k: v for k, v in quality(final_es).items()})
+        out["es_steps"] = int(info_es["steps"])
+        out["es_threshold"] = float(early_stop_probe)
     return out
 
 

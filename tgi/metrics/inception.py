@@ -263,8 +263,9 @@ def nvidia_detector_fn(params, return_logits=False, no_output_bias=False):
     299² and (x - 128) / 128 normalization (the TF classify_image
     graph's Sub/Mul preprocessing), TF-layout blocks.
 
-    ``return_features`` (FID/KID/PR) is the default; ``return_logits``
-    gives the 1008-way head for the Inception Score.
+    Pool features (FID/KID/PR) are returned by default;
+    ``return_logits=True`` selects the 1008-way head for the Inception
+    Score.
     """
     def fn(images_255):
         n, c, h, w = images_255.shape

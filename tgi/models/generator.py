@@ -157,12 +157,17 @@ class TriPlaneGenerator:
 
     def synthesis(self, params, ws, c, *, neural_rendering_resolution=None,
                   noise_mode="const", key=None, det=True, force_fp32=False,
-                  planes=None):
+                  planes=None, sr_max_res=None):
         """Full render: ws [N, num_ws, 512], c [N, 25] ->
         {'image', 'image_raw', 'image_depth', 'planes'} (triplane.py:53-90).
 
         ``planes`` short-circuits the backbone (the reference's
         cache_backbone / use_cached_backbone contract).
+
+        ``sr_max_res`` truncates the SR pyramid at the first block whose
+        output reaches it (see superresolution_apply) — a reduced-cost
+        'image' for consumers that downsample the full SR output anyway.
+        None (default) = exact reference behavior.
         """
         from tgi.utils.shapes import assert_shape
         cfg = self.cfg
@@ -206,7 +211,7 @@ class TriPlaneGenerator:
             sr_antialias=rk.get("sr_antialias", True),
             noise_mode=sr_noise_mode,
             noise_key=k_sr if sr_noise_mode == "random" else None,
-            force_fp32=force_fp32)
+            force_fp32=force_fp32, max_res=sr_max_res)
 
         return {"image": sr_image, "image_raw": rgb_image,
                 "image_depth": depth_image, "planes": planes}

@@ -84,10 +84,17 @@ def bilinear_resize(x, size, antialias=False):
 def superresolution_apply(params, rgb, x, ws, cfg: SRConfig, *,
                           use_fp16=False, fused_dtype="bfloat16",
                           sr_antialias=True, noise_mode="random",
-                          noise_key=None, force_fp32=False):
+                          noise_key=None, force_fp32=False, max_res=None):
     """rgb: [N,3,r,r] raw render; x: [N,32,r,r] features; ws: [N,num_ws,512].
 
     Returns the SR image [N, 3, img_resolution, img_resolution].
+
+    ``max_res``: stop after the first block whose output resolution
+    reaches it and return that block's accumulated rgb skip — a reduced-
+    cost image for consumers that immediately downsample the full SR
+    output anyway (the stage-1 warp loss reads the canonical render only
+    as <=256-res VGG features, warping_loss.py:7-10 + w_projector.py:189).
+    None (default) runs both blocks — exact reference behavior.
     """
     ws = jnp.tile(ws[:, -1:, :], (1, 3, 1))
     if x.shape[-1] != cfg.input_resolution:
@@ -99,11 +106,16 @@ def superresolution_apply(params, rgb, x, ws, cfg: SRConfig, *,
           else (None, None))
     in0, _, res0, up0 = cfg.block0
     in1, _, res1, up1 = cfg.block1
+    if max_res is not None and cfg.input_resolution >= max_res:
+        # Level-0 exit: the bilinear-lifted raw render itself.
+        return rgb
     x, rgb = synthesis_block_apply(
         params["block0"], x, rgb, ws, in_channels=in0, resolution=res0,
         up=up0, use_fp16=use_fp16, force_fp32=force_fp32,
         conv_clamp=(256 if use_fp16 else None), noise_mode=noise_mode,
         noise_key=nk[0], fused_dtype=fused_dtype)
+    if max_res is not None and res0 >= max_res:
+        return rgb
     x, rgb = synthesis_block_apply(
         params["block1"], x, rgb, ws, in_channels=in1, resolution=res1,
         up=up1, use_fp16=use_fp16, force_fp32=force_fp32,
