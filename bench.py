@@ -200,9 +200,14 @@ def measure_stage_steps(G_var, *, params, ws, c, real, target, tfeats, ts,
                    warmup=1, iters=3) * 1e3 / NS2
     if not with_flops:
         return s1_ms, s2_ms
+    # XLA's HloCostAnalysis counts a while/scan BODY once, independent of
+    # trip count (verified on both the CPU and axon TPU backends: a
+    # length-1 and length-16 matmul scan report identical flops). The
+    # scan program's count therefore already IS the per-step figure — do
+    # NOT divide by NS (the round-4 bench did, under-reporting MFU ~16x).
     f1 = compiled_flops(scan_stage1, ts, opt_states)
     f2 = compiled_flops(scan_stage2, params, opt_state0)
-    flops = {"stage1": f1 and f1 / NS1, "stage2": f2 and f2 / NS2}
+    flops = {"stage1": f1, "stage2": f2}
     return s1_ms, s2_ms, flops
 
 
