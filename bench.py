@@ -436,23 +436,32 @@ def main():
         # Matched-protocol wall-clock: the reference's real per-image
         # time includes the LPIPS<=0.06 stage-2 early stop
         # (single_id_coach.py:69, hyperparameters.py:19-20 — BASELINE.md
-        # assumes 200-400 effective steps). value_early_stop charges the
-        # measured steps-at-stop on the self-inversion target; the
-        # es_gate quality delta right beside it says whether stopping
-        # there actually preserved reconstruction quality (the LPIPS
-        # here is random-init, so the stop point is NOT calibrated like
-        # the pretrained production one — the gate keeps it honest).
-        if "es_steps" in q:
+        # assumes 200-400 effective steps). That threshold is calibrated
+        # for PRETRAINED AlexNet-LPIPS (none mounted here), so the
+        # quality-gated stop point is measured directly instead:
+        # qconv_steps = first 50-step boundary of the SAME full-budget
+        # tuning run whose MS-SSIM is within 0.01 of the full-budget
+        # final (selfinv quality_trace). value_early_stop charges those
+        # steps; early_stop_gate_ok asserts the stop is REAL (fires
+        # before the budget) — if quality only converges at 400 the
+        # matched number honestly equals the fixed-budget one. The
+        # literal 0.06 machinery demo stays recorded as es006_*.
+        if "qconv_steps" in q:
             es_sec = (STAGE1_STEPS * stage1_ms
-                      + q["es_steps"] * stage2_ms) / 1e3
+                      + q["qconv_steps"] * stage2_ms) / 1e3
             extras.update({
-                "selfinv_early_stop_steps": q["es_steps"],
-                "selfinv_early_stop_ms_ssim": round(q["es_ms_ssim"], 4),
+                "selfinv_qconv_steps": q["qconv_steps"],
+                "selfinv_qconv_ms_ssim": round(q["qconv_ms_ssim"], 4),
                 "value_early_stop": round(es_sec, 2),
                 "vs_baseline_early_stop": round(
                     REFERENCE_SEC_PER_IMAGE / es_sec, 2),
                 "early_stop_gate_ok": bool(
-                    q["es_ms_ssim"] >= q["final_ms_ssim"] - 0.01),
+                    q["qconv_steps"] < STAGE2_STEPS),
+            })
+        if "es_steps" in q:
+            extras.update({
+                "selfinv_es006_steps": q["es_steps"],
+                "selfinv_es006_ms_ssim": round(q["es_ms_ssim"], 4),
             })
 
     # est 60: effectively always attempted — the quality block is the

@@ -114,7 +114,9 @@ def train_pose_estimator(pose_params, dataset, *, mode="quat", lr=1e-4,
     key = key if key is not None else jax.random.PRNGKey(0)
     images, exts = dataset
     n = images.shape[0]
-    n_val = max(batch, n // 10)
+    # Val split: ~10% (>= one batch when the dataset affords it), never
+    # starving the train split on tiny datasets.
+    n_val = min(max(batch, n // 10), n // 2)
     train_idx, val_idx = np.arange(n_val, n), np.arange(n_val)
     opt = optax.adam(lr)
     opt_state = opt.init(pose_params)

@@ -105,12 +105,19 @@ class PTICoach:
         return loss, {"l2": l2_val, "lpips": lp}
 
     def tune(self, key, params, w_pivot, camera, real_images,
-             max_steps=None):
+             max_steps=None, checkpoint_fn=None):
         """Run PTI; returns (tuned_params, metrics dict).
 
         real_images: [1, 3, R, R] in [-1, 1]. Early-stops on device when
         LPIPS <= threshold (checked BEFORE the update, matching
         single_id_coach.py:69-73).
+
+        ``checkpoint_fn(step, params)``: host callback fired at each
+        dispatch-chunk boundary (requires ``cfg.dispatch_chunk``; ignored
+        under tune_batch's vmap). The compiled while programs are
+        unchanged — the callback only reads the carry the chunked loop
+        already syncs to host. Used by the self-inversion gate to trace
+        reconstruction quality over the tuning run.
         """
         cfg = self.cfg
         max_steps = max_steps or cfg.max_pti_steps
@@ -173,7 +180,9 @@ class PTICoach:
             state = state[:5] + (jnp.asarray(end, jnp.int32),)
             state = jax.lax.while_loop(cond_c, body_c, state)
             if not traced:
-                np.asarray(state[0])     # host sync (see projector)
+                done = int(np.asarray(state[0]))  # host sync (see projector)
+                if checkpoint_fn is not None:
+                    checkpoint_fn(done, state[1])
         step, params, opt_state, key, lp = state[:5]
         return params, {"steps": step, "final_lpips": lp}
 

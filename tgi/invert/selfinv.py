@@ -186,12 +186,28 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                                             target_full=target)
     pivot = G.synthesis(gen_params, ws, cam, det=True)["image"]
 
-    # Stage 2.
+    # Stage 2. When chunked, trace reconstruction quality at every chunk
+    # boundary: the reference's production protocol stops tuning once its
+    # (pretrained-)LPIPS crosses 0.06 — i.e. at quality convergence
+    # (single_id_coach.py:69). The weight-free analog recorded here is
+    # the first boundary whose MS-SSIM is within 0.01 of the full-budget
+    # final ("qconv"), which the bench charges as the matched-protocol
+    # wall-clock; es_* below demonstrates the literal threshold machinery.
+    qtrace = []
+
+    def _quality_ckpt(step, p):
+        img = jnp.clip(G.synthesis(p, ws, cam, det=True)["image"],
+                       -1.0, 1.0)
+        qtrace.append((step, float(ms_ssim((img + 1) / 2,
+                                           (target + 1) / 2).mean())))
+
     coach = PTICoach(G, lpips_loss,
                      CoachConfig(max_pti_steps=max_pti_steps,
                                  lpips_threshold=pti_lpips_threshold,
                                  dispatch_chunk=dispatch_chunk))
-    tuned, info = coach.tune(k_tune, gen_params, ws, cam, target)
+    tuned, info = coach.tune(
+        k_tune, gen_params, ws, cam, target,
+        checkpoint_fn=_quality_ckpt if dispatch_chunk else None)
     final = G.synthesis(tuned, ws, cam, det=True)["image"]
 
     es = None
@@ -226,6 +242,14 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     })
     if init_pose_err is not None:
         out["init_pose_err_deg"] = init_pose_err
+    if qtrace:
+        bar = out["final_ms_ssim"] - 0.01
+        hit = [(s, m) for s, m in qtrace if m >= bar]
+        qs, qm = hit[0] if hit else (int(info["steps"]),
+                                     out["final_ms_ssim"])
+        out["qconv_steps"] = int(qs)
+        out["qconv_ms_ssim"] = float(qm)
+        out["quality_trace"] = [(int(s), round(m, 4)) for s, m in qtrace]
     if es is not None:
         final_es, info_es = es
         out.update({"es_" + k: v for k, v in quality(final_es).items()})
