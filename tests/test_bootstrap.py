@@ -44,7 +44,7 @@ def test_bootstrap_trains_both_nets():
     params = G.init(jax.random.PRNGKey(0))
     pose0 = resnet34_init(jax.random.PRNGKey(1), output_dims=4)
     vgg0 = vgg16_init(jax.random.PRNGKey(2), width_mult=0.125)
-    pose, vgg, report = bootstrap_aux_nets(
+    pose, vgg, e4e, report = bootstrap_aux_nets(
         G, params, key=jax.random.PRNGKey(4), pose_params=pose0,
         vgg_params=vgg0, num_images=8, pose_steps=3, vgg_steps=3)
     # Same structure, changed values (both nets actually trained).
@@ -60,11 +60,16 @@ def test_bootstrap_trains_both_nets():
             jax.tree_util.tree_leaves(vgg)))
     assert changed_pose and changed_vgg
     assert np.isfinite(report["pose_val_loss"])
-    # Trained nets still drive the consumers.
+    assert np.isfinite(report["pose_val_rot_deg"])
+    # Trained nets still drive the consumers; the e4e substitute emits
+    # a per-image w delta (projector adds it to mean-w).
     img = jnp.asarray(np.random.RandomState(0).uniform(
         0, 255, (1, 3, 64, 64)).astype(np.float32))
     assert np.all(np.isfinite(resnet34_apply(pose, img)))
     assert np.all(np.isfinite(_vgg_embed(vgg, img)))
+    delta = e4e(img)
+    assert delta.shape == (1, G.cfg.w_dim)
+    assert np.all(np.isfinite(delta))
 
 
 def test_vgg_bootstrap_reduces_loss():
@@ -76,8 +81,8 @@ def test_vgg_bootstrap_reduces_loss():
                              num_images=16, batch=8)
     vgg0 = vgg16_init(jax.random.PRNGKey(2), width_mult=0.125)
     logs = []
-    train_vgg_bootstrap(vgg0, ds, steps=40, batch=8, lr=3e-4,
-                        key=jax.random.PRNGKey(6), log_every=39,
+    train_vgg_bootstrap(vgg0, ds, steps=40, batch=8, lr=3e-4, chunk=5,
+                        key=jax.random.PRNGKey(6), log_every=5,
                         log=logs.append)
     first = float(logs[0].split("loss ")[1].split(" ")[0])
     last = float(logs[-1].split("loss ")[1].split(" ")[0])

@@ -90,7 +90,7 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                         render_fp32=False, target_G=None,
                         dispatch_chunk=None, aim_pose_deg=3.0,
                         pti_lpips_threshold=0.0, proj_overrides=None,
-                        early_stop_probe=None):
+                        early_stop_probe=None, e4e_encode=None):
     """Invert a G-generated target; return quality/pose metrics.
 
     Mirrors run_pti's per-image path at full step budget:
@@ -148,7 +148,7 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     if proj_overrides:
         proj_cfg = _replace(proj_cfg, **proj_overrides)
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
-                     proj_cfg)
+                     proj_cfg, e4e_encode=e4e_encode)
     z = jax.random.normal(k_z, (1, G.cfg.z_dim))
     ws_star = G.mapping(gen_params, z, proj.canonical_cam,
                         truncation_psi=truncation_psi,
@@ -167,19 +167,25 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
         if res < 256 else target)
     target_255 = (t256 + 1.0) * 127.5
 
-    init_pose_err = None
+    from tgi.invert.projector import assemble_camera
+    from tgi.models.pose_resnet import resnet34_apply
+
     if aim_pose_deg:
-        aimed = aim_pose_net(pose_params, target_255,
-                             cam_pose[:3, :3], err_deg=aim_pose_deg,
-                             camera_mode=camera_mode, key=key)
-        proj = Projector(G, gen_params, vgg_params, lpips_head, aimed,
-                         proj_cfg)
-        from tgi.invert.projector import assemble_camera
-        from tgi.models.pose_resnet import resnet34_apply
-        pose_out0 = resnet34_apply(aimed, target_255)
-        _, cam0 = assemble_camera(pose_out0, jnp.zeros((1, 3)), camera_mode,
-                                  2.7, proj.intrinsic.reshape(9))
-        init_pose_err = float(rotation_error_deg(cam0, cam_star)[0])
+        # Random-net path: aim the head aim_pose_deg off the truth (a
+        # pretrained estimator's operating point). With a BOOTSTRAPPED
+        # pose net (tgi/invert/bootstrap.py) pass aim_pose_deg=None —
+        # the net predicts the pose itself and init_pose_err_deg
+        # reports its real estimation error, as in the reference.
+        pose_params = aim_pose_net(pose_params, target_255,
+                                   cam_pose[:3, :3],
+                                   err_deg=aim_pose_deg,
+                                   camera_mode=camera_mode, key=key)
+        proj = Projector(G, gen_params, vgg_params, lpips_head,
+                         pose_params, proj_cfg, e4e_encode=e4e_encode)
+    pose_out0 = resnet34_apply(pose_params, target_255)
+    _, cam0 = assemble_camera(pose_out0, jnp.zeros((1, 3)), camera_mode,
+                              2.7, proj.intrinsic.reshape(9))
+    init_pose_err = float(rotation_error_deg(cam0, cam_star)[0])
 
     # Stage 1 (full-res [-1,1] target for the warp loss, as run_pti).
     ws, cam, _state, metrics = proj.project(k_proj, target_255,
