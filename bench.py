@@ -401,27 +401,61 @@ def main():
                           "section_elapsed_s": budget.section_s}),
               flush=True)
 
-    # 4) Self-inversion quality gate: invert a G-generated target with
+    # 4a) Self-bootstrap the gate's aux nets from the generator itself
+    # (tgi/invert/bootstrap.py): pose ResNet + projection VGG trained on
+    # a G-rendered pseudo-dataset (the reference's own protocol,
+    # scripts/gen_pseudo_dataset.py + train_pose_estimator.py, extended
+    # to the VGG with pose/latent/dense-recon heads), plus the latent
+    # head as the e4e substitute. Without this the gate's random-init
+    # feature nets are pose-uninformative and the camera random-walks
+    # (measured 3 -> 80 deg, PERF.md round 5) — the gate would measure
+    # the stand-in weights, not the machinery.
+    state = {"q": None, "fast_sec": None, "aux": None}
+
+    def sec_bootstrap():
+        from tgi.invert.bootstrap import bootstrap_aux_nets
+        p_t, v_t, e4e_t, rep = bootstrap_aux_nets(
+            G, params, key=jax.random.PRNGKey(100), pose_params=pose,
+            vgg_params=vgg)
+        state["aux"] = (p_t, v_t, e4e_t)
+        extras.update({
+            "bootstrap_pose_val_rot_deg": round(rep["pose_val_rot_deg"],
+                                                1),
+            "bootstrap_s": round(rep["dataset_s"] + rep["pose_train_s"]
+                                 + rep["vgg_train_s"], 1),
+        })
+
+    if os.environ.get("TGI_BENCH_BOOTSTRAP", "1") == "1" and \
+            budget.allow("bootstrap", 60):
+        budget.run("bootstrap", sec_bootstrap)
+        emit()
+
+    # 4b) Self-inversion quality gate: invert a G-generated target with
     # known (w*, cam*) through the REAL full-budget pipeline
     # (Projector.project 400 steps -> PTICoach.tune 400 steps; the 0.06
     # early stop is disabled here — it is calibrated for pretrained
     # AlexNet-LPIPS and fires spuriously with the random-init one,
     # see self_inversion_eval's docstring). MS-SSIM/MSE/pose error are
-    # weight-free; the pose net starts aim_pose_deg=3 off the truth
-    # (the reference's estimator is pretrained — aim_pose_net), so
-    # pose_err_deg measures the camera optimizer's actual refinement.
-    state = {"q": None, "fast_sec": None}
-
+    # weight-free. With the bootstrapped nets the pose estimator
+    # PREDICTS the target pose (init_pose_err_deg is its real error,
+    # as in the reference); if the bootstrap section was skipped, fall
+    # back to aiming the random net 3 deg off the truth.
     def sec_selfinv():
         from tgi.invert import self_inversion_eval
+        aux = state["aux"]
         # dispatch_chunk=50: the 350-step joint-phase scan in ONE
         # dispatch (~57 s) kills the axon TPU worker; 50-step dispatches
         # (~8 s) are proven safe. Numerically identical.
         q = self_inversion_eval(
-            G, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
-            lpips_head=head, pose_params=pose, lpips_loss=lp,
+            G, params, key=jax.random.PRNGKey(42),
+            vgg_params=aux[1] if aux else vgg,
+            lpips_head=head,
+            pose_params=aux[0] if aux else pose, lpips_loss=lp,
             first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
+            aim_pose_deg=None if aux else 3.0,
+            e4e_encode=aux[2] if aux else None,
             dispatch_chunk=50, early_stop_probe=0.06)
+        extras["selfinv_bootstrapped"] = bool(aux)
         state["q"] = q
         extras.update({
             "selfinv_final_lpips": round(q["final_lpips"], 4),
@@ -520,10 +554,15 @@ def main():
         # settings (48+48, full SR) and inverted by the FAST pipeline —
         # the real-world question (fast machinery vs full-fidelity
         # image), not a softer fast-vs-fast round trip.
+        aux = state["aux"]
         qf = self_inversion_eval(
-            Gfast, params, key=jax.random.PRNGKey(42), vgg_params=vgg,
-            lpips_head=head, pose_params=pose, lpips_loss=lp,
+            Gfast, params, key=jax.random.PRNGKey(42),
+            vgg_params=aux[1] if aux else vgg,
+            lpips_head=head,
+            pose_params=aux[0] if aux else pose, lpips_loss=lp,
             first_inv_steps=STAGE1_STEPS, max_pti_steps=STAGE2_STEPS,
+            aim_pose_deg=None if aux else 3.0,
+            e4e_encode=aux[2] if aux else None,
             target_G=G, dispatch_chunk=50, proj_overrides=CANON_OVR)
         extras.update({
             "fast_selfinv_final_lpips": round(qf["final_lpips"], 4),
@@ -589,9 +628,16 @@ def main():
         # chunk=10 at B=4: ~4x the per-step cost of the single-image
         # path, so a 10-step dispatch stays in the proven-safe window
         # (divides the 50-step preheat phase -> still 2 scan programs).
+        aux = state["aux"]
+        # Bootstrapped nets when available (one shared trained pose net
+        # predicts every target's pose; no per-image aiming). The
+        # batched path has no e4e hook — start_w stays mean-w, so its
+        # pose numbers are comparable only within this section.
         qb = self_inversion_eval_batch(
             G, params, key=jax.random.PRNGKey(42), batch_size=4,
-            vgg_params=vgg, lpips_head=head, pose_params=pose,
+            vgg_params=aux[1] if aux else vgg, lpips_head=head,
+            pose_params=aux[0] if aux else pose,
+            aim_pose_deg=None if aux else 3.0,
             lpips_loss=lp, first_inv_steps=STAGE1_STEPS,
             max_pti_steps=STAGE2_STEPS, dispatch_chunk=10)
         extras.update({
