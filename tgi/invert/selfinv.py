@@ -90,7 +90,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                         render_fp32=False, target_G=None,
                         dispatch_chunk=None, aim_pose_deg=3.0,
                         pti_lpips_threshold=0.0, proj_overrides=None,
-                        early_stop_probe=None, e4e_encode=None):
+                        early_stop_probe=None, e4e_encode=None,
+                        aim_calibrate=True):
     """Invert a G-generated target; return quality/pose metrics.
 
     Mirrors run_pti's per-image path at full step budget:
@@ -170,16 +171,26 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     from tgi.invert.projector import assemble_camera
     from tgi.models.pose_resnet import resnet34_apply
 
+    net_pose_err = None
     if aim_pose_deg:
-        # Random-net path: aim the head aim_pose_deg off the truth (a
-        # pretrained estimator's operating point). With a BOOTSTRAPPED
-        # pose net (tgi/invert/bootstrap.py) pass aim_pose_deg=None —
-        # the net predicts the pose itself and init_pose_err_deg
-        # reports its real estimation error, as in the reference.
+        # Aim the head aim_pose_deg off the truth — the operating point
+        # of the reference's PRETRAINED estimator (ImageNet init + long
+        # pseudo-dataset training; the scratch bootstrap net's raw
+        # prediction on a single target varies 2-25 deg run to run).
+        # The un-aimed net's own prediction error is still recorded as
+        # net_pose_err_deg so the bootstrap capability is visible.
+        # ``aim_calibrate=False`` for bootstrapped (already-trained)
+        # nets — recalibrating would shift their operating point.
+        po_raw = resnet34_apply(pose_params, target_255)
+        _, cam_raw = assemble_camera(po_raw, jnp.zeros((1, 3)),
+                                     camera_mode, 2.7,
+                                     proj.intrinsic.reshape(9))
+        net_pose_err = float(rotation_error_deg(cam_raw, cam_star)[0])
         pose_params = aim_pose_net(pose_params, target_255,
                                    cam_pose[:3, :3],
                                    err_deg=aim_pose_deg,
-                                   camera_mode=camera_mode, key=key)
+                                   camera_mode=camera_mode, key=key,
+                                   calibrate=aim_calibrate)
         proj = Projector(G, gen_params, vgg_params, lpips_head,
                          pose_params, proj_cfg, e4e_encode=e4e_encode)
     pose_out0 = resnet34_apply(pose_params, target_255)
@@ -248,6 +259,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     })
     if init_pose_err is not None:
         out["init_pose_err_deg"] = init_pose_err
+    if net_pose_err is not None:
+        out["net_pose_err_deg"] = net_pose_err
     if qtrace:
         bar = out["final_ms_ssim"] - 0.01
         hit = [(s, m) for s, m in qtrace if m >= bar]
@@ -277,7 +290,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
                               max_pti_steps=400, camera_mode="quat",
                               truncation_psi=0.7, w_avg_samples=512,
                               render_fp32=False, dispatch_chunk=None,
-                              aim_pose_deg=3.0, pti_lpips_threshold=0.0):
+                              aim_pose_deg=3.0, pti_lpips_threshold=0.0,
+                              aim_calibrate=True, proj_overrides=None):
     """Closed-loop gate for BATCHED inversion: batch_size targets with
     known per-image (w*, cam*), inverted SIMULTANEOUSLY through
     Projector.project_batch (per-image optimization states vmapped,
@@ -304,6 +318,9 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
                                w_avg_samples=w_avg_samples,
                                render_fp32=render_fp32, remat_render=True,
                                dispatch_chunk=dispatch_chunk)
+    if proj_overrides:
+        from dataclasses import replace as _replace
+        proj_cfg = _replace(proj_cfg, **proj_overrides)
     proj = Projector(G, gen_params, vgg_params, lpips_head, pose_params,
                      proj_cfg)
 
@@ -335,7 +352,8 @@ def self_inversion_eval_batch(G, gen_params, *, key, vgg_params,
             k_aim = key if i == 0 else jax.random.fold_in(key, 1000 + i)
             aimed = aim_pose_net(pose_params, t255, cam_pose[:3, :3],
                                  err_deg=aim_pose_deg,
-                                 camera_mode=camera_mode, key=k_aim)
+                                 camera_mode=camera_mode, key=k_aim,
+                                 calibrate=aim_calibrate)
             from tgi.invert.projector import assemble_camera
             from tgi.models.pose_resnet import resnet34_apply
             _, cam0 = assemble_camera(
