@@ -441,14 +441,15 @@ def main():
     # scratch bootstrap net's own single-target prediction, recorded as
     # selfinv_net_pose_err_deg, varies 2-25 deg run to run); the gate
     # then measures the camera stream's REFINEMENT. With bootstrapped
-    # nets the quat camera lr runs at reference/10: 6e-7 is tuned for
+    # nets the quat camera lr runs at reference/30: 6e-7 is tuned for
     # the pretrained estimator's weight-space Jacobian and measurably
-    # overshoots with the scratch substitute (3 -> 31 deg in 150 steps;
-    # at /10 the pose DESCENDS 3 -> 2.1 deg during preheat —
-    # scripts/probe_gate_lr.py, PERF.md round 5). Production parity is
-    # untouched; this is a gate-harness adjustment for its substitute
-    # nets, disclosed as selfinv_cam_lr_quat.
-    GATE_CAM_LR = ProjectorConfig().cam_lr_quat / 10
+    # overshoots with the scratch substitute (400-step final pose err:
+    # 65.4 deg at parity lr, 7.6 at /10, 3.6 at /30, with preheat
+    # DESCENDING 3 -> 2.5 deg — scripts/probe_gate_lr.py, PERF.md
+    # round 5). Production parity is untouched; this is a gate-harness
+    # adjustment for its substitute nets, disclosed as
+    # selfinv_cam_lr_quat.
+    GATE_CAM_LR = ProjectorConfig().cam_lr_quat / 30
     def sec_selfinv():
         from tgi.invert import self_inversion_eval
         aux = state["aux"]
