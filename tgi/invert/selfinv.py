@@ -159,8 +159,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                             jnp.asarray([0.0, 0.0, 0.2]), radius=2.7)
     cam_star = pack_camera(cam_pose[None], fov_to_intrinsics(18.837))
 
-    target = (target_G or G).synthesis(gen_params, ws_star, cam_star,
-                                       det=True)["image"]
+    target = jax.jit(lambda p, w, c: (target_G or G).synthesis(
+        p, w, c, det=True)["image"])(gen_params, ws_star, cam_star)
     target = jnp.clip(target, -1.0, 1.0)
     res = target.shape[-1]
     t256 = area_downsample(target, 256) if res > 256 else (
@@ -201,7 +201,23 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     # Stage 1 (full-res [-1,1] target for the warp loss, as run_pti).
     ws, cam, _state, metrics = proj.project(k_proj, target_255,
                                             target_full=target)
-    pivot = G.synthesis(gen_params, ws, cam, det=True)["image"]
+
+    # Jitted eval paths: an eager G.synthesis is hundreds of individual
+    # relay dispatches on TPU (~1 min per render through axon) and this
+    # function renders ~12 times (pivot/final/es + qconv checkpoints).
+    # One compiled program, shared by every (params)->metrics eval.
+    @jax.jit
+    def _eval(p):
+        img = jnp.clip(G.synthesis(p, ws, cam, det=True)["image"],
+                       -1.0, 1.0)
+        return {
+            "mse": jnp.mean(jnp.square(img - target)),
+            "lpips": lpips_loss.from_unit(img, target).sum(),
+            "ms_ssim": ms_ssim((img + 1) / 2, (target + 1) / 2).mean(),
+        }
+
+    def quality(p):
+        return {k: float(v) for k, v in _eval(p).items()}
 
     # Stage 2. When chunked, trace reconstruction quality at every chunk
     # boundary: the reference's production protocol stops tuning once its
@@ -213,10 +229,7 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     qtrace = []
 
     def _quality_ckpt(step, p):
-        img = jnp.clip(G.synthesis(p, ws, cam, det=True)["image"],
-                       -1.0, 1.0)
-        qtrace.append((step, float(ms_ssim((img + 1) / 2,
-                                           (target + 1) / 2).mean())))
+        qtrace.append((step, float(_eval(p)["ms_ssim"])))
 
     coach = PTICoach(G, lpips_loss,
                      CoachConfig(max_pti_steps=max_pti_steps,
@@ -225,7 +238,6 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
     tuned, info = coach.tune(
         k_tune, gen_params, ws, cam, target,
         checkpoint_fn=_quality_ckpt if dispatch_chunk else None)
-    final = G.synthesis(tuned, ws, cam, det=True)["image"]
 
     es = None
     if early_stop_probe:
@@ -235,20 +247,10 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
                                         dispatch_chunk=dispatch_chunk))
         tuned_es, info_es = coach_es.tune(k_tune, gen_params, ws, cam,
                                           target)
-        final_es = G.synthesis(tuned_es, ws, cam, det=True)["image"]
-        es = (final_es, info_es)
+        es = (tuned_es, info_es)
 
-    def quality(img):
-        img = jnp.clip(img, -1.0, 1.0)
-        return {
-            "mse": float(jnp.mean(jnp.square(img - target))),
-            "lpips": float(lpips_loss.from_unit(img, target).sum()),
-            "ms_ssim": float(ms_ssim((img + 1) / 2, (target + 1) / 2
-                                     ).mean()),
-        }
-
-    out = {"pivot_" + k: v for k, v in quality(pivot).items()}
-    out.update({"final_" + k: v for k, v in quality(final).items()})
+    out = {"pivot_" + k: v for k, v in quality(gen_params).items()}
+    out.update({"final_" + k: v for k, v in quality(tuned).items()})
     out.update({
         "pose_err_deg": float(rotation_error_deg(cam, cam_star)[0]),
         "pti_steps": int(info["steps"]),
@@ -270,8 +272,8 @@ def self_inversion_eval(G, gen_params, *, key, vgg_params, lpips_head,
         out["qconv_ms_ssim"] = float(qm)
         out["quality_trace"] = [(int(s), round(m, 4)) for s, m in qtrace]
     if es is not None:
-        final_es, info_es = es
-        out.update({"es_" + k: v for k, v in quality(final_es).items()})
+        tuned_es, info_es = es
+        out.update({"es_" + k: v for k, v in quality(tuned_es).items()})
         out["es_steps"] = int(info_es["steps"])
         out["es_threshold"] = float(early_stop_probe)
     return out
