@@ -45,7 +45,7 @@ def main():
 
     pose, vgg, e4e, report = bootstrap_aux_nets(
         G, params, key=jax.random.PRNGKey(100), pose_params=pose0,
-        vgg_params=vgg0, num_images=512, pose_steps=3000, vgg_steps=800,
+        vgg_params=vgg0,
         log=lambda m: print(f"[{time.perf_counter() - T0:7.1f}s] {m}",
                             flush=True))
     print(json.dumps({"bootstrap_report": report}), flush=True)

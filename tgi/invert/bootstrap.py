@@ -117,25 +117,39 @@ def make_pseudo_dataset(G, params, key, *, num_images=512, batch=8,
             "ws": np.concatenate(ws)[:n]}
 
 
-def _vgg_embed(vgg_params, images_255):
-    """Globally pooled concat of the five LPIPS-stage activations —
-    trains every conv the lpips/warp features later read."""
+def _vgg_stage_acts(vgg_params, images_255):
     x = images_255 / 255.0
     x = (x - IMAGENET_MEAN[None, :, None, None]) \
         / IMAGENET_STD[None, :, None, None]
-    acts = vgg16_features(vgg_params, x, outputs=LPIPS_STAGES)
+    return vgg16_features(vgg_params, x, outputs=LPIPS_STAGES)
+
+
+def _vgg_embed(vgg_params, images_255, acts=None):
+    """Globally pooled concat of the five LPIPS-stage activations —
+    trains every conv the lpips/warp features later read."""
+    if acts is None:
+        acts = _vgg_stage_acts(vgg_params, images_255)
     pooled = [acts[i].mean(axis=(2, 3)) for i in LPIPS_STAGES]
     return jnp.concatenate(pooled, axis=-1)       # [N, sum(stage ch)]
 
 
-def vgg_head_init(key, w_dim=512, d=None):
+def vgg_head_init(key, w_dim=512, d=None, c15=256):
     d = d if d is not None else sum(LPIPS_CHANNELS)
-    kq, kw = jax.random.split(key)
+    kq, kw, kr = jax.random.split(key, 3)
     return {
         "quat": {"weight": jax.random.normal(kq, (d, 4)) * (1 / d) ** 0.5,
                  "bias": jnp.zeros((4,))},
         "w": {"weight": jax.random.normal(kw, (d, w_dim)) * (1 / d) ** 0.5,
               "bias": jnp.zeros((w_dim,))},
+        # Dense head: 1x1 conv from the layer-15 feature map (the exact
+        # layer warping_features reads) back to RGB. Without it the
+        # global-pooled pose/latent objectives are solvable with
+        # spatially FLAT features, and the warp loss — whose pose signal
+        # is feature-map alignment — gets no anchor (measured: pose
+        # drifted 13 -> 43 deg with global heads only).
+        "recon": {"weight": jax.random.normal(kr, (3, c15, 1, 1))
+                  * (1 / c15) ** 0.5,
+                  "bias": jnp.zeros((3,))},
     }
 
 
@@ -238,23 +252,36 @@ def train_vgg_bootstrap(vgg_params, dataset, *, steps=800, batch=16,
     batch = min(batch, n)
     chunk = min(chunk, steps)
 
-    d = _vgg_embed(vgg_params,
-                   images[:1].astype(jnp.float32)).shape[-1]
+    acts0 = _vgg_stage_acts(vgg_params, images[:1].astype(jnp.float32))
+    d = _vgg_embed(vgg_params, None, acts=acts0).shape[-1]
     heads = vgg_head_init(jax.random.fold_in(key, 1), w_dim=ws.shape[-1],
-                          d=d)
+                          d=d, c15=acts0[15].shape[1])
     trainable = {"vgg": vgg_params, "heads": heads}
     opt = optax.adam(lr)
     opt_state = opt.init(trainable)
 
     def loss_fn(tr, imgs, ext, w_t):
-        emb = _vgg_embed(tr["vgg"], imgs)
+        acts = _vgg_stage_acts(tr["vgg"], imgs)
+        emb = _vgg_embed(tr["vgg"], None, acts=acts)
         q = emb @ tr["heads"]["quat"]["weight"] \
             + tr["heads"]["quat"]["bias"]
         l_rot = geodesic_rotation_loss(quaternion_to_rotmat(q),
                                        ext[:, :3, :3])
         w_hat = emb @ tr["heads"]["w"]["weight"] + tr["heads"]["w"]["bias"]
         l_w = jnp.mean(jnp.square(w_hat - w_t))
-        return l_rot + l_w, {"rot": l_rot, "w": l_w}
+        # Dense spatial anchor: reconstruct the (downsampled) image from
+        # the layer-15 feature map via 1x1 conv — forces per-position
+        # features to encode local appearance, which is what the warp
+        # loss aligns and what makes the LPIPS distance pose-sharp.
+        f15 = acts[15]
+        rec = jax.lax.conv_general_dilated(
+            f15, tr["heads"]["recon"]["weight"], (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW")) \
+            + tr["heads"]["recon"]["bias"][None, :, None, None]
+        tgt = area_downsample(imgs / 127.5 - 1.0, f15.shape[-1])
+        l_rec = jnp.mean(jnp.square(rec - tgt))
+        return l_rot + l_w + l_rec, {"rot": l_rot, "w": l_w,
+                                     "rec": l_rec}
 
     @jax.jit
     def run_chunk(tr, os_, k, imgs, ext, w_t):
@@ -265,21 +292,21 @@ def train_vgg_bootstrap(vgg_params, dataset, *, steps=800, batch=16,
             (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 tr, imgs[idx].astype(jnp.float32), ext[idx], w_t[idx])
             upd, os_ = opt.update(g, os_, tr)
-            return (optax.apply_updates(tr, upd), os_, k), (l, aux["rot"],
-                                                            aux["w"])
+            return (optax.apply_updates(tr, upd), os_, k), (
+                l, aux["rot"], aux["w"], aux["rec"])
         (tr, os_, _), ms = jax.lax.scan(body, (tr, os_, k), None,
                                         length=chunk)
         return tr, os_, jax.tree_util.tree_map(jnp.mean, ms)
 
     for c in range((steps + chunk - 1) // chunk):
-        trainable, opt_state, (l, lr_, lw) = run_chunk(
+        trainable, opt_state, (l, lr_, lw, lrec) = run_chunk(
             trainable, opt_state, jax.random.fold_in(key, 100 + c),
             images, exts, ws_n)
         if log and ((c * chunk) % log_every < chunk
                     or (c + 1) * chunk >= steps):
             log(f"vgg_bootstrap step {(c + 1) * chunk}: "
                 f"loss {float(l):.4f} rot {float(lr_):.4f} "
-                f"w {float(lw):.4f}")
+                f"w {float(lw):.4f} rec {float(lrec):.4f}")
     return {"vgg": trainable["vgg"], "heads": trainable["heads"],
             "w_mu": w_mu, "w_sd": w_sd}
 
@@ -303,7 +330,7 @@ def make_e4e_encode(vgg_params, heads, w_mu, w_sd):
 
 
 def bootstrap_aux_nets(G, params, *, key, pose_params, vgg_params,
-                       num_images=512, pose_steps=3000, vgg_steps=800,
+                       num_images=1024, pose_steps=2000, vgg_steps=800,
                        pose_batch=32, vgg_batch=16, pose_mode="quat",
                        log=None):
     """Pseudo-dataset + pose/VGG training + e4e substitute.
